@@ -1,0 +1,193 @@
+"""BM25 top-k query engine over the posting-list index (SURVEY.md §7.7-8).
+
+Distributed plan:
+
+  query terms (tiny, driver-side tokenize — same frozen analyzer)
+    → dictionary lookup: parquet scan filtered term IN (...) — file/
+      row-group pruned (dictionary files are term-sorted)
+    → postings scan filtered term IN (...) — same pruning
+    → repartition(hash(range_id)): every doc's blocks for ALL query
+      terms are co-located (blocks are doc-range-aligned), so scoring
+      is partition-local
+    → mapInPandas: per-partition block-max sweep (below) emitting ≤ k
+      candidates per query per partition
+    → global top-k: row_number window over 50 query groups + docmap join.
+
+Block-max pruning (the engine's one genuinely novel operator —
+SURVEY.md §4 item 4): within a partition, per query, ranges are
+processed in descending order of their summed per-term upper bounds
+ub(term, range) = idf·(k1+1)·max_tf/(max_tf + k1(1-b+b·min_dl/avgdl)).
+Because blocks are doc-range-aligned, Σ_terms ub(term, range) bounds
+the score of EVERY doc in the range, so once the local top-k is full
+and the next range's bound is strictly below the running k-th score,
+all remaining ranges are skipped — never decoded. Exact top-k is
+preserved (property-tested: pruned == unpruned on every fixture query).
+
+Determinism: a doc's contributions are summed in sorted (doc, term)
+order via reduceat — fixed f64 addition order at any cluster size.
+Tie-break (score DESC, doc_id ASC) everywhere.
+
+Reference analogue: embed-query → ANN top-k limit → rank assembly
+(examples/SearchAgent/SearchR1/lance_retrieval.py:104-166,
+rust/src/reranker/model.rs:244-276); MaxSim's per-query-term max/sum
+(examples/colbert.py:38-43) is the same gather-score-reduce shape.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from embedanything_spark import B, K1
+from embedanything_spark.analyzer import ANALYZER_VERSION, tokenize
+from embedanything_spark.index.build import table_paths
+from embedanything_spark.index.codec import varint_decode
+
+_CAND_SCHEMA = "query_id int, doc_id long, score double"
+_RESULT_COLS = ["query_id", "rank", "doc_id", "conv_id", "turn_idx", "score"]
+
+
+def _idf(n_docs: int, df: np.ndarray) -> np.ndarray:
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _decode_contribs(rows: pd.DataFrame, idf_by_term: dict[str, float],
+                     avgdl: float):
+    """Decode block rows → (doc_ids, contribs) arrays, summed per doc
+    in fixed (doc, term) order."""
+    docs_l, contrib_l, term_l = [], [], []
+    for r in rows.itertuples():
+        doc = np.cumsum(varint_decode(r.doc_bytes)).astype(np.int64) \
+            + np.int64(r.min_doc)
+        tf = varint_decode(r.tf_bytes).astype(np.float64)
+        dl = varint_decode(r.dl_bytes).astype(np.float64)
+        denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+        contrib = idf_by_term[r.term] * (tf * (K1 + 1.0)) / denom
+        docs_l.append(doc)
+        contrib_l.append(contrib)
+        term_l.append(np.full(len(doc), r.term, dtype=object))
+    doc = np.concatenate(docs_l)
+    contrib = np.concatenate(contrib_l)
+    term = np.concatenate(term_l)
+    order = np.lexsort((term, doc))
+    doc, contrib = doc[order], contrib[order]
+    starts = np.nonzero(np.r_[True, doc[1:] != doc[:-1]])[0]
+    return doc[starts], np.add.reduceat(contrib, starts)
+
+
+def _merge_topk(best_doc, best_score, doc, score, k):
+    d = np.concatenate([best_doc, doc])
+    s = np.concatenate([best_score, score])
+    order = np.lexsort((d, -s))[:k]
+    return d[order], s[order]
+
+
+def _score_partition_factory(qinfo: dict, avgdl: float, prune: bool):
+    """qinfo: {query_id: {"k": int, "terms": {term: idf}}}."""
+
+    def score_partition(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        # per-block upper-bound impact (idf applied per query below)
+        mtf = pdf["max_tf"].to_numpy(np.float64)
+        mdl = pdf["min_dl"].to_numpy(np.float64)
+        pdf["impact_ub"] = (mtf * (K1 + 1.0)) / \
+            (mtf + K1 * (1.0 - B + B * mdl / avgdl))
+        out = []
+        for qid, q in qinfo.items():
+            terms = q["terms"]
+            sel = pdf[pdf["term"].isin(list(terms))]
+            if len(sel) == 0:
+                continue
+            k = q["k"]
+            ub = sel["impact_ub"].to_numpy() * \
+                sel["term"].map(terms).to_numpy(np.float64)
+            range_ub = pd.Series(ub).groupby(
+                sel["range_id"].to_numpy()).sum()
+            range_order = range_ub.sort_values(ascending=False)
+            best_doc = np.empty(0, dtype=np.int64)
+            best_score = np.empty(0, dtype=np.float64)
+            by_range = dict(tuple(sel.groupby("range_id", sort=False)))
+            for rid, rub in range_order.items():
+                if prune and len(best_doc) == k and rub < best_score[-1]:
+                    break  # strict: ties at the k-th score still scored
+                doc, score = _decode_contribs(by_range[rid], terms, avgdl)
+                best_doc, best_score = _merge_topk(
+                    best_doc, best_score, doc, score, k)
+            out.append(pd.DataFrame({
+                "query_id": np.int32(qid),
+                "doc_id": best_doc, "score": best_score}))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return score_partition
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.meta = json.loads((self.root / "_meta/meta.json").read_text())
+        if self.meta["analyzer_version"] != ANALYZER_VERSION:
+            raise ValueError(
+                f"index built with analyzer v{self.meta['analyzer_version']}"
+                f" but runtime is v{ANALYZER_VERSION} — rebuild required")
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, conv_id string, "
+                "turn_idx int, score double")
+
+    def search(self, queries: pd.DataFrame, prune: bool = True,
+               num_buckets: int | None = None) -> DataFrame:
+        """queries: pandas (query_id, query_text, k) →
+        DataFrame (query_id, rank, doc_id, conv_id, turn_idx, score)."""
+        q_terms = {int(r.query_id): (sorted(set(tokenize(r.query_text))),
+                                     int(r.k))
+                   for r in queries.itertuples()}
+        all_terms = sorted({t for ts, _ in q_terms.values() for t in ts})
+        if not all_terms:
+            return self._empty()
+        dict_pdf = (self.spark.read.parquet(str(self.root / "dictionary"))
+                    .filter(F.col("term").isin(all_terms))
+                    .select("term", "df").toPandas())
+        if len(dict_pdf) == 0:
+            return self._empty()
+        idf = dict(zip(dict_pdf["term"],
+                       _idf(self.meta["n_docs"],
+                            dict_pdf["df"].to_numpy(np.float64))))
+        qinfo = {}
+        for qid, (terms, k) in q_terms.items():
+            known = {t: idf[t] for t in terms if t in idf}
+            if known:
+                qinfo[qid] = {"k": k, "terms": known}
+        if not qinfo:
+            return self._empty()
+
+        n_buckets = num_buckets or \
+            self.spark.sparkContext.defaultParallelism
+        blocks = (self.spark.read
+                  .parquet(*table_paths(self.root, "postings"))
+                  .filter(F.col("term").isin(list(idf)))
+                  .repartition(n_buckets, "range_id"))
+        cands = blocks.mapInPandas(
+            _score_partition_factory(qinfo, self.meta["avgdl"], prune),
+            schema=_CAND_SCHEMA)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        kmap = F.create_map(*[x for qid, q in qinfo.items()
+                              for x in (F.lit(qid), F.lit(q["k"]))])
+        docmap = self.spark.read.parquet(*table_paths(self.root, "docmap"))
+        return (cands
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= kmap[F.col("query_id")])
+                .join(docmap, "doc_id")
+                .select(*_RESULT_COLS)
+                .orderBy("query_id", "rank"))

@@ -1,0 +1,121 @@
+"""Posting-list index engine: build + query, rank-identity vs oracle,
+WAND pruning property, parallelism invariance (FIXTURES.md §4-5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from embedanything_spark.index.build import (CheckpointedIndexBuilder,
+                                             IndexWriter, committed_lineage,
+                                             table_paths)
+from embedanything_spark.index.query import IndexReader
+from tests.test_bm25_dataframe import assert_rank_identical
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, transcripts_df):
+    root = tmp_path_factory.mktemp("idx")
+    # small block_range so the fixture corpus spans many blocks
+    w = IndexWriter(str(root), block_range=256, num_partitions=8)
+    lineage = w.build(transcripts_df)
+    assert lineage["n_docs"] > 0
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+def test_meta_matches_oracle(reader, oracle):
+    assert reader.meta["n_docs"] == oracle.n_docs
+    assert reader.meta["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+
+
+def test_dictionary_matches_oracle(spark, index_dir, oracle):
+    d = spark.read.parquet(f"{index_dir}/dictionary").toPandas()
+    assert dict(zip(d["term"], d["df"])) == oracle.df
+
+
+def test_rank_identity_pruned(reader, queries_pdf, golden_topk):
+    got = reader.search(queries_pdf, prune=True).toPandas()
+    assert_rank_identical(got, golden_topk)
+
+
+def test_pruned_equals_unpruned(reader, queries_pdf):
+    """WAND property: pruning never changes the top-k."""
+    a = reader.search(queries_pdf, prune=True).toPandas()
+    b = reader.search(queries_pdf, prune=False).toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_parallelism_invariance(spark, tmp_path, transcripts_df,
+                                queries_pdf, index_dir, golden_topk):
+    """Same build at different parallelism → identical dictionary,
+    doc_stats and rank-identical results (N vs 4N scaling criterion)."""
+    root2 = str(tmp_path / "idx2")
+    IndexWriter(root2, block_range=256, num_partitions=2).build(
+        transcripts_df)
+    for table in ("dictionary", "doc_stats", "docmap"):
+        def load(root):
+            paths = ([f"{root}/dictionary"] if table == "dictionary"
+                     else table_paths(root, table))
+            key = ["term"] if table == "dictionary" else ["doc_id"]
+            return (spark.read.parquet(*paths).toPandas()
+                    .sort_values(key).reset_index(drop=True))
+        a, b = load(index_dir), load(root2)
+        pd.testing.assert_frame_equal(a, b[a.columns])
+    got = IndexReader(spark, root2).search(queries_pdf).toPandas()
+    assert_rank_identical(got, golden_topk)
+
+
+def test_query_unseen_and_empty(reader):
+    q = pd.DataFrame({"query_id": [0, 1], "query_text": ["zz_nope", ""],
+                      "k": [5, 5]})
+    assert reader.search(q).count() == 0
+
+
+def test_k_exceeds_corpus(reader, oracle):
+    q = pd.DataFrame({"query_id": [0], "query_text": ["term00000"],
+                      "k": [10**7]})
+    n = reader.search(q).count()
+    assert 0 < n <= oracle.n_docs
+
+
+def test_checkpoint_resume(spark, tmp_path, transcripts_df, queries_pdf,
+                           golden_topk):
+    """Kill after 2 of 4 batches (+ one orphan dir) → resume → results
+    identical to an uninterrupted build (FIXTURES.md §5)."""
+    root = str(tmp_path / "ckpt")
+    w = IndexWriter(root, block_range=256, num_partitions=4)
+    b = CheckpointedIndexBuilder(w, n_batches=4)
+    b.run(transcripts_df, stop_after=2)  # simulated crash, no finalize
+    assert len(committed_lineage(root)) == 2
+    # fake a half-written batch the crash left behind
+    orphan = tmp_path / "ckpt" / "postings" / "batch-0002"
+    orphan.mkdir(parents=True)
+    (orphan / "part-junk.parquet").write_bytes(b"corrupt")
+
+    resumed = CheckpointedIndexBuilder(
+        IndexWriter(root, block_range=256, num_partitions=4), n_batches=4)
+    lineage = resumed.run(transcripts_df)
+    assert len(lineage) == 4
+    assert not (orphan / "part-junk.parquet").exists()
+    got = IndexReader(spark, root).search(queries_pdf).toPandas()
+    assert_rank_identical(got, golden_topk)
+    # per-partition lineage carries throughput metrics
+    for ln in committed_lineage(root):
+        assert ln["turns_per_sec"] > 0 and ln["n_docs"] > 0
+
+
+def test_compression_effective(spark, index_dir, oracle):
+    """Posting payloads must be much smaller than raw int64 postings."""
+    blocks = spark.read.parquet(
+        *table_paths(index_dir, "postings")).select(
+        "n", "doc_bytes", "tf_bytes").toPandas()
+    n_postings = int(blocks["n"].sum())
+    assert n_postings == sum(len(p[0]) for p in oracle.postings.values())
+    payload = int(blocks["doc_bytes"].map(len).sum() +
+                  blocks["tf_bytes"].map(len).sum())
+    assert payload < n_postings * 8  # vs 16 bytes/posting uncompressed
