@@ -35,60 +35,84 @@ def _zipf_probs(n: int = VOCAB_SIZE, s: float = ZIPF_S) -> np.ndarray:
     return w / w.sum()
 
 
-_PROBS = None
+_CDF = None
 _VOCAB = None
 
 
 def _vocab() -> tuple[np.ndarray, np.ndarray]:
-    global _PROBS, _VOCAB
-    if _PROBS is None:
-        _PROBS = _zipf_probs()
+    """(vocab array, Zipf CDF) — CDF + searchsorted makes sampling
+    O(log V) per token instead of rng.choice's O(V) per call."""
+    global _CDF, _VOCAB
+    if _CDF is None:
+        _CDF = np.cumsum(_zipf_probs())
         _VOCAB = np.array([f"term{i:05d}" for i in range(VOCAB_SIZE)])
-    return _VOCAB, _PROBS
+    return _VOCAB, _CDF
+
+
+def _gen_conv_arrays(conv_i: int, seed: int = SEED) -> dict:
+    """Column arrays for one conversation; pure function of
+    (seed, conv_i). Fully vectorized (one batch of draws per conv)."""
+    vocab, cdf = _vocab()
+    rng = np.random.default_rng((seed, conv_i))
+    n_turns = int(min(1 + rng.poisson(7), 40))
+    # sticky per-conv topic terms → realistic df spread
+    topic = vocab[np.searchsorted(cdf, rng.random(3))]
+    conv_id = f"conv-{conv_i:08d}"
+    base = np.datetime64("2026-01-01T00:00:00") + \
+        np.timedelta64(conv_i * 37, "s")
+    ts = base + np.cumsum(rng.integers(1, 91, size=n_turns)) \
+        .astype("timedelta64[s]")
+    is_tool = rng.random(n_turns) < 0.15
+    roles = np.where(is_tool, "tool",
+                     np.where(np.arange(n_turns) % 2 == 0,
+                              "user", "assistant"))
+    tool_pick = rng.integers(len(TOOLS), size=n_turns)
+    tools = [TOOLS[int(t)] if it else None
+             for t, it in zip(tool_pick, is_tool)]
+    empty = rng.random(n_turns) < 0.005
+    n_tok = rng.integers(5, 121, size=n_turns)
+    n_tok[empty] = 0
+    total = int(n_tok.sum())
+    toks = vocab[np.searchsorted(cdf, rng.random(total))].astype(object)
+    # sprinkle sticky topic / non-ASCII / punct tokens
+    r = rng.random(total)
+    m = r < 0.08
+    toks[m] = topic[rng.integers(3, size=int(m.sum()))]
+    m = (r >= 0.08) & (r < 0.10)
+    toks[m] = np.array(NON_ASCII, dtype=object)[
+        rng.integers(len(NON_ASCII), size=int(m.sum()))]
+    m = (r >= 0.10) & (r < 0.11)
+    toks[m] = np.array(PUNCT, dtype=object)[
+        rng.integers(len(PUNCT), size=int(m.sum()))]
+    bounds = np.r_[0, np.cumsum(n_tok)]
+    texts = [" ".join(toks[bounds[i]:bounds[i + 1]])
+             for i in range(n_turns)]
+    return {
+        "conv_id": np.full(n_turns, conv_id, dtype=object),
+        "turn_idx": np.arange(n_turns, dtype=np.int32),
+        "role": roles.astype(object),
+        "text": np.array(texts, dtype=object),
+        "tool": np.array(tools, dtype=object),
+        "ts": ts,
+    }
+
+
+def _gen_batch(conv_ids, seed: int = SEED) -> pd.DataFrame:
+    """Many convs → ONE DataFrame (per-conv frame construction is the
+    dominant cost otherwise)."""
+    parts = [_gen_conv_arrays(int(i), seed) for i in conv_ids]
+    return pd.DataFrame({
+        c: np.concatenate([p[c] for p in parts])
+        for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")})
 
 
 def gen_conv(conv_i: int, seed: int = SEED) -> pd.DataFrame:
-    """Generate one conversation; pure function of (seed, conv_i)."""
-    vocab, probs = _vocab()
-    rng = np.random.default_rng((seed, conv_i))
-    n_turns = min(1 + rng.poisson(7), 40)
-    # sticky per-conv topic terms → realistic df spread
-    topic = vocab[rng.choice(VOCAB_SIZE, size=3, p=probs)]
-    conv_id = f"conv-{conv_i:08d}"
-    base_ts = np.datetime64("2026-01-01T00:00:00") + np.timedelta64(conv_i * 37, "s")
-    rows = []
-    ts = base_ts
-    for t in range(n_turns):
-        ts = ts + np.timedelta64(int(rng.integers(1, 91)), "s")
-        is_tool = rng.random() < 0.15
-        role = "tool" if is_tool else ("user" if t % 2 == 0 else "assistant")
-        tool = TOOLS[int(rng.integers(len(TOOLS)))] if is_tool else None
-        if rng.random() < 0.005:
-            text = ""
-        else:
-            n_tok = int(rng.integers(5, 121))
-            toks = list(vocab[rng.choice(VOCAB_SIZE, size=n_tok, p=probs)])
-            # sprinkle sticky topic terms
-            for j in range(len(toks)):
-                r = rng.random()
-                if r < 0.08:
-                    toks[j] = topic[int(rng.integers(3))]
-                elif r < 0.10:
-                    toks[j] = NON_ASCII[int(rng.integers(len(NON_ASCII)))]
-                elif r < 0.11:
-                    toks[j] = PUNCT[int(rng.integers(len(PUNCT)))]
-            text = " ".join(toks)
-        rows.append((conv_id, t, role, text, tool, ts))
-    return pd.DataFrame(
-        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    return _gen_batch([conv_i], seed)
 
 
 def gen_transcripts_pdf(n_convs: int, seed: int = SEED) -> pd.DataFrame:
     """Driver-side generation (tests, oracle). Same rows as the Spark path."""
-    out = [gen_conv(i, seed) for i in range(n_convs)]
-    pdf = pd.concat(out, ignore_index=True)
-    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
-    return pdf
+    return _gen_batch(range(n_convs), seed)
 
 
 def gen_transcripts_df(spark, n_convs: int, seed: int = SEED,
@@ -98,10 +122,8 @@ def gen_transcripts_df(spark, n_convs: int, seed: int = SEED,
 
     def gen(batches):
         for pdf in batches:
-            for conv_i in pdf["id"].to_numpy():
-                out = gen_conv(int(conv_i), seed)
-                out["turn_idx"] = out["turn_idx"].astype("int32")
-                yield out
+            if len(pdf):
+                yield _gen_batch(pdf["id"].to_numpy(), seed)
 
     return (spark.range(0, n_convs, numPartitions=parts)
             .mapInPandas(gen, schema=_SCHEMA))

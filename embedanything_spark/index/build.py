@@ -1,27 +1,28 @@
 """Distributed inverted-index build (SURVEY.md §7.5-6).
 
-Pipeline (exactly two shuffles end-to-end, regardless of scale):
+Pipeline — exactly ONE full-data shuffle end-to-end, regardless of
+scale:
 
   transcripts
-    → [shuffle 1] repartitionByRange(conv_id, turn_idx) + sort
-      → dense doc_id assignment (Arrow two-pass zipWithIndex)
-    → mapInPandas: tokenize + per-doc term counting (tf is DOC-LOCAL —
-      no groupBy(doc,term) shuffle; the Counter lives inside the same
-      Arrow pass that tokenizes)
-    → [shuffle 2] repartitionByRange(term, range_id) + sort(term,
-      range_id, doc_id)
-    → mapInPandas block encoder → postings parquet
-    → dictionary = groupBy(term) over block METADATA only (bytes
-      columns pruned by parquet) — the "segment merge into a global
-      term dictionary" of the north rule.
+    → [shuffle] repartitionByRange(conv_id, turn_idx) + sort
+    → mapInPandas pass 1: dense doc_id assignment + tokenize + per-doc
+      term counting (text crosses Python/Arrow exactly once)
+    → mapInPandas pass 2 (NARROW): partition-local posting explode,
+      (term, doc-range) sort and delta+varint block encode — each
+      partition owns a contiguous doc range, so its blocks are globally
+      disjoint segments (the Lucene/ES doc-sharded model)
+    → dictionary = salted repartitionByRange(term) merge over block
+      METADATA only (bytes columns pruned by parquet) — the "segment
+      merge into a global term dictionary" of the north rule; the only
+      term-keyed shuffle, and it moves ~|vocab|·P tiny rows, not
+      postings.
 
-Skew: ``range_id = doc_id // block_range`` participates in the
-repartition key, so a hot Zipf head term's postings fan out across
-many partitions (the salt of the north rule's "salted
-repartitionByRange on term hash") while each (term, range_id) group
-stays ≤ block_range postings. Doc-range-aligned blocks also make
-block-max pruning exact at query time: sum of per-term block upper
-bounds is a valid bound for every doc in the range.
+Skew: hot Zipf head terms never concentrate anywhere — their postings
+stay spread across all doc-range partitions by construction, and the
+dictionary merge shuffles one metadata row per (term, block).
+Doc-range-aligned blocks also make block-max pruning exact at query
+time: sum of per-term block upper bounds is a valid bound for every
+doc in the range.
 
 Blocks store (max_tf, min_dl) rather than a precomputed impact so
 upper bounds remain valid if avgdl drifts under incremental appends:
@@ -48,83 +49,151 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from embedanything_spark import B, K1
 from embedanything_spark.analyzer import ANALYZER_VERSION
-from embedanything_spark.index.codec import delta_encode, varint_encode
+from embedanything_spark.index.codec import varint_encode_offsets
 from embedanything_spark.operators.doc_ids import zip_with_index
 
-DEFAULT_BLOCK_RANGE = 4096
+DEFAULT_BLOCK_RANGE = 65536
 
-_TF_SCHEMA = "doc_id long, term string, tf int, doclen int"
-_BLOCK_SCHEMA = ("term string, range_id long, n int, min_doc long, "
-                 "max_doc long, max_tf int, min_dl int, sum_tf long, "
-                 "doc_bytes binary, tf_bytes binary, dl_bytes binary")
-
-
-def _count_terms(batches):
-    """Per-doc tf extraction over pre-tokenized docs, one Arrow pass.
-
-    tf is DOC-LOCAL so no shuffle is needed: flatten the token arrays
-    with repeated doc ids and count (doc, term) pairs with a C-speed
-    pandas groupby — no per-row Python in the hot path.
-    """
-    for pdf in batches:
-        toks = pdf["tokens"]
-        lens = toks.map(len).to_numpy(np.int64)
-        nz = lens > 0
-        if not nz.any():
-            continue
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        flat = pd.DataFrame({
-            "doc_id": np.repeat(doc_ids, lens),
-            "term": np.concatenate([np.asarray(t, dtype=object)
-                                    for t in toks[nz]]),
-            "doclen": np.repeat(lens, lens),
-        })
-        out = (flat.groupby(["doc_id", "term", "doclen"], sort=False)
-                   .size().rename("tf").reset_index())
-        out["tf"] = out["tf"].astype(np.int32)
-        out["doclen"] = out["doclen"].astype(np.int32)
-        yield out[["doc_id", "term", "tf", "doclen"]]
+_DOC_COLS = ["doc_id", "conv_id", "turn_idx", "role", "ts", "doclen"]
+_BLOCK_COLS = ["term", "range_id", "n", "min_doc", "max_doc", "max_tf",
+               "min_dl", "sum_tf", "doc_bytes", "tf_bytes", "dl_bytes"]
+_UNION_SCHEMA = (
+    "kind string, doc_id long, conv_id string, turn_idx int, "
+    "role string, ts timestamp, doclen int, "
+    "term string, range_id long, n int, min_doc long, max_doc long, "
+    "max_tf int, min_dl int, sum_tf long, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary")
+_ALL_COLS = ["kind"] + _DOC_COLS + _BLOCK_COLS
 
 
-def _encode_group(term: str, range_id: int, g: pd.DataFrame) -> tuple:
-    doc = g["doc_id"].to_numpy(np.uint64)
-    tf = g["tf"].to_numpy(np.uint64)
-    dl = g["doclen"].to_numpy(np.uint64)
-    return (term, int(range_id), len(doc), int(doc[0]), int(doc[-1]),
-            int(tf.max()), int(dl.min()), int(tf.sum()),
-            delta_encode(doc - doc[0]), varint_encode(tf),
-            varint_encode(dl))
+def _pad(pdf: pd.DataFrame, kind: str) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf["kind"] = kind
+    for c in _ALL_COLS:
+        if c not in pdf.columns:
+            pdf[c] = None
+    return pdf[_ALL_COLS]
 
 
-def _encode_blocks(batches):
-    """Encode (term, range_id) groups; carries the trailing group
-    across Arrow batch boundaries (groups never straddle partitions —
-    range partitioning keeps equal keys together)."""
-    cols = ["term", "range_id", "n", "min_doc", "max_doc", "max_tf",
-            "min_dl", "sum_tf", "doc_bytes", "tf_bytes", "dl_bytes"]
-    carry = None
-    for pdf in batches:
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-        if len(pdf) == 0:
-            continue
-        # boundary of the last (term, range_id) group → carry
-        t = pdf["term"].to_numpy()
-        r = pdf["range_id"].to_numpy()
-        last_start = len(pdf) - 1
-        while last_start > 0 and t[last_start - 1] == t[-1] \
-                and r[last_start - 1] == r[-1]:
-            last_start -= 1
-        carry = pdf.iloc[last_start:].reset_index(drop=True)
-        head = pdf.iloc[:last_start]
-        if len(head):
-            rows = [_encode_group(term, rid, g) for (term, rid), g
-                    in head.groupby(["term", "range_id"], sort=False)]
-            yield pd.DataFrame(rows, columns=cols)
-    if carry is not None and len(carry):
-        rows = [_encode_group(term, rid, g) for (term, rid), g
-                in carry.groupby(["term", "range_id"], sort=False)]
-        yield pd.DataFrame(rows, columns=cols)
+def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized block encode of a sorted (term, range_id, doc_id)
+    frame: group boundaries by change-points, aggregates via reduceat,
+    ONE varint encode per column with per-group byte slicing — no
+    per-group numpy calls."""
+    term = pdf["term"].to_numpy()
+    rid = pdf["range_id"].to_numpy(np.int64)
+    doc = pdf["doc_id"].to_numpy(np.int64)
+    tf = pdf["tf"].to_numpy(np.int64)
+    dl = pdf["doclen"].to_numpy(np.int64)
+    n = len(pdf)
+    new_grp = np.r_[True, (term[1:] != term[:-1]) | (rid[1:] != rid[:-1])]
+    starts = np.nonzero(new_grp)[0]
+    ends = np.r_[starts[1:], n]  # exclusive
+    counts = ends - starts
+    min_doc = doc[starts]
+    max_doc = doc[ends - 1]
+    max_tf = np.maximum.reduceat(tf, starts)
+    min_dl = np.minimum.reduceat(dl, starts)
+    sum_tf = np.add.reduceat(tf, starts)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = (doc[1:] - doc[:-1]).astype(np.uint64)
+    deltas[starts] = 0  # rebased to the block's min_doc
+    out = {"term": term[starts], "range_id": rid[starts],
+           "n": counts.astype(np.int32),
+           "min_doc": min_doc, "max_doc": max_doc,
+           "max_tf": max_tf.astype(np.int32),
+           "min_dl": min_dl.astype(np.int32), "sum_tf": sum_tf}
+    for col, vals in (("doc_bytes", deltas),
+                      ("tf_bytes", tf.astype(np.uint64)),
+                      ("dl_bytes", dl.astype(np.uint64))):
+        buf, vends = varint_encode_offsets(vals)
+        bstart = np.r_[0, vends[:-1]][starts]
+        bend = vends[ends - 1]
+        mv = memoryview(buf.tobytes())
+        out[col] = [bytes(mv[a:b]) for a, b in zip(bstart, bend)]
+    return pd.DataFrame(out)
+
+
+def _build_partition_factory(offsets: dict, block_range: int):
+    """The whole per-partition build in ONE Python/Arrow pass: dense
+    doc_id assignment (broadcast offsets + running index), frozen-
+    analyzer tokenization, per-doc tf counting, then — once the
+    partition is exhausted — partition-local posting sort and
+    delta+varint block encode. Yields a union stream: kind='doc' rows
+    (docmap + doclen) interleaved with batches, kind='block' rows at
+    the end.
+
+    Raw text enters Python exactly once and the exploded postings
+    NEVER cross the Arrow boundary (they live and die as numpy arrays
+    inside the partition). This works because the parent is range-
+    partitioned in doc_id order: each partition owns a contiguous doc
+    range, so its (term, range_id) blocks are globally disjoint
+    segments (the Lucene/ES doc-sharded model) and no postings shuffle
+    exists at all. The term-keyed shuffle happens only in the
+    dictionary merge over block metadata.
+
+    A range_id straddling a partition boundary yields two block rows
+    with the same (term, range_id) — the query engine sums their upper
+    bounds (still a valid bound) and decodes both (still exact)."""
+    from collections import Counter
+
+    from embedanything_spark.analyzer import tokenize
+
+    def fn(batches):
+        local = 0
+        doc_l, dl_l, term_l, tf_l = [], [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            start = offsets[int(pdf["_pid"].iloc[0])] + local
+            local += len(pdf)
+            n = len(pdf)
+            doc_ids = np.arange(start, start + n, dtype=np.int64)
+            terms_b, tfs_b, dl_b = [], [], []
+            for text in pdf["text"]:
+                toks = tokenize(text)
+                dl_b.append(len(toks))
+                c = Counter(toks)
+                terms_b.append(np.array(list(c.keys()), dtype=object))
+                tfs_b.append(np.fromiter(c.values(), dtype=np.int64,
+                                         count=len(c)))
+            dl_arr = np.asarray(dl_b, dtype=np.int64)
+            nterm = np.array([len(t) for t in terms_b], dtype=np.int64)
+            nz = nterm > 0
+            if nz.any():
+                doc_l.append(np.repeat(doc_ids, nterm))
+                dl_l.append(np.repeat(dl_arr, nterm))
+                term_l.append(np.concatenate(
+                    [t for t, z in zip(terms_b, nz) if z]))
+                tf_l.append(np.concatenate(
+                    [t for t, z in zip(tfs_b, nz) if z]))
+            yield _pad(pd.DataFrame({
+                "doc_id": doc_ids,
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "role": pdf["role"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "doclen": dl_arr.astype(np.int32),
+            }), "doc")
+        if not doc_l:
+            return
+        doc = np.concatenate(doc_l)
+        dl = np.concatenate(dl_l)
+        term = np.concatenate(term_l)
+        tf = np.concatenate(tf_l)
+        # term-sorted block stream → parquet min/max row-group pruning
+        codes, uniques = pd.factorize(pd.Series(term), sort=True)
+        rid = doc // block_range
+        order = np.lexsort((doc, rid, codes))
+        sorted_pdf = pd.DataFrame(
+            {"term": np.asarray(uniques, dtype=object)[codes[order]],
+             "range_id": rid[order],
+             "doc_id": doc[order],
+             "tf": tf[order],
+             "doclen": dl[order]})
+        yield _pad(_encode_batch(sorted_pdf), "block")
+
+    return fn
 
 
 TABLES = ("docmap", "doc_stats", "postings")
@@ -186,42 +255,50 @@ class IndexWriter:
         t0 = time.time()
         parts = self._parts(spark)
 
-        from embedanything_spark.analyzer import tokenize_udf
-        docs = zip_with_index(
-            transcripts.select("conv_id", "turn_idx", "role", "ts", "text"),
-            ["conv_id", "turn_idx"], num_partitions=parts)
-        if doc_id_offset:
-            docs = docs.withColumn(
-                "doc_id", F.col("doc_id") + F.lit(doc_id_offset))
-        # tokenize exactly once; docs persist carries tokens, not text
-        docs = docs.select(
-            "doc_id", "conv_id", "turn_idx", "role", "ts",
-            tokenize_udf("text").alias("tokens")).persist()
+        from pyspark import StorageLevel
+
+        # shuffle 1: global (conv_id, turn_idx) order for dense doc_ids;
+        # persist pins both the count pass and the assign pass to the
+        # same range partitioning
+        parent = (transcripts
+                  .select("conv_id", "turn_idx", "role", "ts", "text")
+                  .repartitionByRange(parts, "conv_id", "turn_idx")
+                  .sortWithinPartitions("conv_id", "turn_idx")
+                  .withColumn("_pid", F.spark_partition_id())
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        counts = dict(parent.groupBy("_pid").count().collect())
+        offsets, acc = {}, doc_id_offset
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+
+        # ONE Python pass over raw text → union stream of docmap rows
+        # and encoded posting-block rows (postings never cross Arrow)
+        union = parent.mapInPandas(
+            _build_partition_factory(offsets, self.block_range),
+            schema=_UNION_SCHEMA).persist(StorageLevel.MEMORY_AND_DISK)
 
         sub = f"batch-{batch_id}"
-        (docs.select("doc_id", "conv_id", "turn_idx", "role", "ts")
-             .write.mode("overwrite")
-             .parquet(str(self.root / "docmap" / sub)))
+        (union.filter(F.col("kind") == "doc")
+              .select("doc_id", "conv_id", "turn_idx", "role", "ts")
+              .write.mode("overwrite")
+              .parquet(str(self.root / "docmap" / sub)))
+        parent.unpersist()  # union is materialized now
 
-        (docs.select("doc_id", F.size("tokens").alias("doclen"))
-             .write.mode("overwrite")
-             .parquet(str(self.root / "doc_stats" / sub)))
+        (union.filter(F.col("kind") == "doc")
+              .select("doc_id", "doclen")
+              .write.mode("overwrite")
+              .parquet(str(self.root / "doc_stats" / sub)))
 
-        tf = docs.select("doc_id", "tokens").mapInPandas(
-            _count_terms, schema=_TF_SCHEMA)
+        (union.filter(F.col("kind") == "block")
+              .select(*_BLOCK_COLS)
+              .write.mode("overwrite")
+              .parquet(str(self.root / "postings" / sub)))
+        union.unpersist()
 
-        blocks = (tf
-                  .withColumn("range_id",
-                              (F.col("doc_id") / F.lit(self.block_range))
-                              .cast("long"))
-                  .repartitionByRange(parts, "term", "range_id")
-                  .sortWithinPartitions("term", "range_id", "doc_id")
-                  .mapInPandas(_encode_blocks, schema=_BLOCK_SCHEMA))
-        blocks.write.mode("overwrite").parquet(
-            str(self.root / "postings" / sub))
-
-        n_batch_docs = docs.count()
-        docs.unpersist()
+        # row count from the written parquet footers (metadata-only)
+        n_batch_docs = spark.read.parquet(
+            str(self.root / "docmap" / sub)).count()
         elapsed = time.time() - t0
         lineage = {
             "batch_id": batch_id,

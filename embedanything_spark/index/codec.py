@@ -17,11 +17,13 @@ import numpy as np
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 9)]
 
 
-def varint_encode(vals: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (values < 2**63)."""
+def varint_encode_offsets(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array (values < 2**63). Returns
+    (byte array, per-value END byte offsets) so callers can slice the
+    stream per group without re-encoding."""
     v = np.ascontiguousarray(vals, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += (v >= t).astype(np.int64)
@@ -35,6 +37,12 @@ def varint_encode(vals: np.ndarray) -> bytes:
         byte = (v[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)
         cont = (nbytes[mask] > i + 1).astype(np.uint8) << 7
         out[starts[mask] + i] = byte.astype(np.uint8) | cont
+    return out, ends
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (values < 2**63)."""
+    out, _ = varint_encode_offsets(vals)
     return out.tobytes()
 
 

@@ -25,13 +25,15 @@ from pyspark.sql import DataFrame, functions as F
 
 def zip_with_index(df: DataFrame, order_cols: list[str],
                    id_col: str = "doc_id",
-                   num_partitions: int | None = None) -> DataFrame:
+                   num_partitions: int | None = None,
+                   return_parent: bool = False):
     """Append a dense 0-based int64 ``id_col`` following ``order_cols`` order.
 
     Returned frame is sorted by ``order_cols`` within partitions and
     range-partitioned across them; all other columns pass through.
-    Caller should unpersist via ``df.sparkSession.catalog.clearCache()``
-    or write the result out promptly.
+    With ``return_parent=True`` also returns the persisted sorted
+    parent so the caller can unpersist it once downstream results are
+    materialized (the persist pins both passes to one partitioning).
     """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
@@ -59,4 +61,5 @@ def zip_with_index(df: DataFrame, order_cols: list[str],
             pdf[id_col] = np.arange(start, start + len(pdf), dtype=np.int64)
             yield pdf
 
-    return sorted_df.mapInPandas(assign, schema=out_schema)
+    out = sorted_df.mapInPandas(assign, schema=out_schema)
+    return (out, sorted_df) if return_parent else out

@@ -1,0 +1,297 @@
+"""Document-table operators: BM25-family + text-analysis + dedup.
+
+These run over the driver's ``documents`` parquet table
+(doc_id, text, lang, source, n_chars) and each has an exact DuckDB
+oracle in ``__spark_entry__.oracle_sql`` — tokenization here is plain
+space-split + lowercase so both engines tokenize identically (the
+transcripts engine uses the frozen unicode analyzer instead).
+
+Float outputs are exported as ``*_micro`` BIGINTs (round(x·1e6)) so the
+driver's value-hash comparison is immune to last-ulp float noise, and
+rows are ordered by the ROUNDED value so LIMIT boundaries are
+deterministic across engines.
+
+Dedup + quality operators are the training-data-pipeline surface
+(MinHash-LSH, SimHash, n-gram Jaccard, quality scoring, language
+guess, fingerprinting) — all expressed as Catalyst built-ins; hashes
+are md5-prefix BIGINTs which Spark and DuckDB compute identically
+(verified: conv(substring(md5(x),1,12),16,10) == CAST('0x'||… AS BIGINT)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from embedanything_spark import B, K1
+
+DOC_QUERY_TERMS = ["spark", "join", "filter"]  # fixed demo query
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def micro(col) -> F.Column:
+    return F.round(col * F.lit(1e6)).cast("long")
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """(doc_id, term) exploded space tokens, empties dropped."""
+    return (df.select("doc_id",
+                      F.explode(F.split(F.lower("text"), " ")).alias("term"))
+              .filter(F.col("term") != ""))
+
+
+def hash12(col) -> F.Column:
+    """48-bit BIGINT from md5 hex prefix — DuckDB-parity hash."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+# ---------- BM25 family (S1/E2/A6/J1/T2 in SURVEY.md §2) ----------
+
+def term_tf(spark, sf_dir):
+    """tf per (doc, term) — the SPLADE-slot statistic (E2/A1)."""
+    return (_tokens(load(spark, sf_dir, "documents"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf")))
+
+
+def term_dictionary(spark, sf_dir):
+    """Global dictionary: df + cf per term (A6, segment merge)."""
+    return (term_tf(spark, sf_dir)
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
+
+
+def doc_stats(spark, sf_dir):
+    """Per-doc length; zero-token docs kept (A6)."""
+    docs = load(spark, sf_dir, "documents")
+    lens = (_tokens(docs).groupBy("doc_id")
+            .agg(F.count("*").alias("doclen")))
+    return (docs.select("doc_id").join(lens, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("doclen", F.lit(0)).alias("doclen")))
+
+
+def bm25_topk(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) top-20 for the fixed
+    query — the flagship operator, DataFrame-only plan (§3.3)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = term_tf(spark, sf_dir).filter(F.col("term").isin(DOC_QUERY_TERMS))
+    dl = doc_stats(spark, sf_dir)
+    n_docs = docs.count()
+    stats = dl.agg(F.avg("doclen").alias("avgdl")).collect()[0]
+    avgdl = float(stats["avgdl"])
+    df_ = (term_tf(spark, sf_dir).groupBy("term")
+           .agg(F.count("*").alias("df"))
+           .filter(F.col("term").isin(DOC_QUERY_TERMS)))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) /
+                (F.col("df") + 0.5))
+    contrib = (tf.join(F.broadcast(df_), "term").join(dl, "doc_id")
+               .select("doc_id",
+                       (idf * (F.col("tf") * F.lit(K1 + 1.0)) /
+                        (F.col("tf") + F.lit(K1) *
+                         (F.lit(1.0 - B) +
+                          F.lit(B) * F.col("doclen") / F.lit(avgdl))))
+                       .alias("c")))
+    return (contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
+            .select("doc_id", micro(F.col("score")).alias("score_micro"))
+            .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+            .limit(20))
+
+
+def incremental_antijoin(spark, sf_dir):
+    """S5/J2: skip already-indexed docs (indexed set = doc_id % 7 == 0)."""
+    docs = load(spark, sf_dir, "documents")
+    indexed = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return (docs.join(indexed, "doc_id", "left_anti")
+            .select("doc_id", "source"))
+
+
+def rank_by_source(spark, sf_dir):
+    """W2: per-source length rank (reranker rank assembly analogue)."""
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (load(spark, sf_dir, "documents")
+            .select("source", "doc_id", "n_chars",
+                    F.row_number().over(w).cast("long").alias("rnk"))
+            .filter(F.col("rnk") <= 3))
+
+
+def rrf_fusion(spark, sf_dir):
+    """J3: reciprocal-rank fusion of two rankings (by n_chars, by
+    token count), RRF k=60 — hybridsearch.py:64-77 re-expressed."""
+    docs = load(spark, sf_dir, "documents")
+    r1 = docs.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))).alias("r"))
+    r2 = doc_stats(spark, sf_dir).select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.desc("doclen"), F.asc("doc_id"))).alias("r"))
+    u = r1.unionByName(r2)
+    return (u.groupBy("doc_id")
+            .agg(F.sum(F.lit(1.0) / (F.lit(60.0) + F.col("r")))
+                 .alias("rrf"))
+            .select("doc_id", micro(F.col("rrf")).alias("rrf_micro"))
+            .orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(15))
+
+
+# ---------- Text analysis (training-data pipeline) ----------
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def quality_score(spark, sf_dir):
+    """Length/stopword/distinct-ratio quality heuristic per doc."""
+    toks = _tokens(load(spark, sf_dir, "documents"))
+    agg = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+        F.sum(F.col("term").isin(STOPWORDS).cast("int"))
+         .alias("n_stop"),
+        F.avg(F.length("term")).alias("avg_len"))
+    score = (F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4 +
+             (F.col("n_distinct") / F.col("n_tokens")) * 0.4 +
+             (1.0 - F.col("n_stop") / F.col("n_tokens")) * 0.2)
+    return agg.select("doc_id", "n_tokens", "n_distinct", "n_stop",
+                      micro(score).alias("quality_micro"))
+
+
+def token_count(spark, sf_dir):
+    """Whitespace + word-regex token counts per source (P4 analogue)."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select(
+            "source",
+            F.size(F.filter(F.split(F.col("text"), " "),
+                            lambda x: x != "")).alias("ws"),
+            F.size(F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-z0-9]+"), 0)).alias("re"))
+            .groupBy("source")
+            .agg(F.sum("ws").alias("ws_tokens"),
+                 F.sum("re").alias("re_tokens"),
+                 F.count("*").alias("n_docs")))
+
+
+def lang_guess(spark, sf_dir):
+    """Charset-based language-ID heuristic (n-gram LID stand-in —
+    honest: this corpus is ASCII so the guess is structural)."""
+    docs = load(spark, sf_dir, "documents")
+    guess = (F.when(F.col("text").rlike(r"[\x{4e00}-\x{9fff}]"), "cjk")
+             .when(F.col("text").rlike(r"[^\x00-\x7f]"), "latin_ext")
+             .when(F.length("text") < 50, "short")
+             .otherwise("ascii"))
+    return (docs.select(guess.alias("guess"), "lang")
+            .groupBy("guess", "lang").agg(F.count("*").alias("n")))
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Position-weighted content fingerprint per doc (rolling-hash
+    style): sum(hash48(term) * (pos+1)) mod 2^31."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.lower("text"), " "),
+                              lambda x: x != "")).alias("pos", "term"))
+    fp = toks.groupBy("doc_id").agg(
+        (F.sum(hash12(F.col("term")) % F.lit(2**31) *
+               (F.col("pos") + 1)) % F.lit(2**31)).alias("fingerprint"))
+    return fp.select("doc_id", F.col("fingerprint").cast("long")
+                     .alias("fingerprint"))
+
+
+# ---------- Deduplication (training-data pipeline) ----------
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash; keeper = min doc_id per group."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select(F.md5(F.lower("text")).alias("h"), "doc_id")
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.count("*").alias("n_dups"))
+            .filter(F.col("n_dups") >= 1)
+            .select("keeper", "n_dups"))
+
+
+def _shingles(spark, sf_dir):
+    """3-gram token shingles per doc via positional self-joins (runs
+    identically in DuckDB)."""
+    toks = (load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.lower("text"), " "),
+                              lambda x: x != "")).alias("pos", "term")))
+    t1, t2, t3 = toks.alias("t1"), toks.alias("t2"), toks.alias("t3")
+    return (t1
+            .join(t2, (F.col("t1.doc_id") == F.col("t2.doc_id")) &
+                       (F.col("t2.pos") == F.col("t1.pos") + 1))
+            .join(t3, (F.col("t1.doc_id") == F.col("t3.doc_id")) &
+                       (F.col("t3.pos") == F.col("t1.pos") + 2))
+            .select(F.col("t1.doc_id").alias("doc_id"),
+                    F.concat_ws("_", "t1.term", "t2.term", "t3.term")
+                    .alias("shingle"))
+            .distinct())
+
+
+def dedup_minhash(spark, sf_dir):
+    """MinHash signatures (8 permutations via seeded md5) + LSH bands
+    of 2 → candidate pairs per band bucket. The scale path: band
+    buckets shard the pair-join so no O(n²) compare."""
+    sh = _shingles(spark, sf_dir)
+    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
+    mh = (sh.crossJoin(F.broadcast(seeds))
+          .groupBy("doc_id", "seed")
+          .agg(F.min(F.substring(
+              F.md5(F.concat_ws(":", "seed", "shingle")), 1, 16))
+              .alias("mh")))
+    bands = (mh.withColumn("band", (F.col("seed") / 2).cast("int"))
+             .groupBy("doc_id", "band")
+             .agg(F.concat_ws("|", F.array_sort(F.collect_list("mh")))
+                  .alias("sig")))
+    a, bdf = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(bdf, (F.col("a.band") == F.col("b.band")) &
+                         (F.col("a.sig") == F.col("b.sig")) &
+                         (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("d1"),
+                     F.col("b.doc_id").alias("d2")).distinct())
+    return pairs.agg(F.count("*").alias("n_candidate_pairs"),
+                     F.coalesce(F.min("d1"), F.lit(-1)).alias("min_d1"))
+
+
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per doc from md5 bits of tokens (tf-weighted)."""
+    tf = term_tf(spark, sf_dir).withColumn(
+        "h", F.conv(F.substring(F.md5("term"), 1, 4), 16, 10)
+        .cast("long"))
+    bits = tf.select("doc_id", "tf", "h",
+                     F.explode(F.sequence(F.lit(0), F.lit(15)))
+                     .alias("b"))
+    votes = bits.groupBy("doc_id", "b").agg(
+        F.sum(F.expr("((shiftright(h, b) & 1) * 2 - 1) * tf")).alias("v"))
+    sim = votes.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1, b) ELSE 0 END"))
+        .alias("simhash"))
+    return sim.select("doc_id", F.col("simhash").cast("long")
+                      .alias("simhash"))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: top candidate pairs by shingle-set
+    Jaccard (pairs must share ≥1 shingle — no O(n²))."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                        (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("d1"),
+                       F.col("b.doc_id").alias("d2"))
+              .agg(F.count("*").alias("common")))
+    s1 = sizes.select(F.col("doc_id").alias("d1"),
+                      F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"),
+                      F.col("sz").alias("sz2"))
+    j = (common.join(s1, "d1").join(s2, "d2")
+         .select("d1", "d2",
+                 micro(F.col("common") /
+                       (F.col("sz1") + F.col("sz2") - F.col("common")))
+                 .alias("jaccard_micro")))
+    return j.orderBy(F.desc("jaccard_micro"), "d1", "d2").limit(20)

@@ -40,7 +40,7 @@ def get_spark(app: str = "embedanything-spark",
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory",
-                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
          .config("spark.ui.enabled", "false"))
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -1,0 +1,64 @@
+"""Structured Streaming incremental ingest (SURVEY.md §2.10).
+
+The reference's "vector streaming" is an intra-process bounded-buffer
+pipeline: parse/chunk producer → MPSC channel → embed consumer →
+adapter sink, flushing every ``buffer_size`` chunks
+(``rust/src/lib.rs:836-962``, defaults ``config.rs:48,75``). The Spark
+restatement is Structured Streaming micro-batches: ``readStream`` on a
+transcripts directory → ``foreachBatch`` appending a committed batch to
+the same index layout the batch builder writes — each micro-batch is a
+lineage-committed segment, and ``finalize()`` re-merges the global
+dictionary, so a streaming ingest and a batch build produce the same
+searchable index.
+
+doc_ids for streamed batches are offset-sequential (batch order), not
+global dense rank — the same contract as the checkpointed builder's
+batches; rank identity holds per the docmap that accompanies them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from embedanything_spark.index.build import IndexWriter, committed_lineage
+
+TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, "
+                     "text string, tool string, ts timestamp")
+
+
+class StreamingIndexIngest:
+    """foreachBatch sink: every micro-batch becomes one committed index
+    batch (the streaming analogue of the reference's buffered adapter
+    upsert, ``python/src/lib.rs:499-517``)."""
+
+    def __init__(self, index_root: str, block_range: int = 4096,
+                 num_partitions: int | None = None,
+                 finalize_each_batch: bool = True):
+        self.writer = IndexWriter(index_root, block_range=block_range,
+                                  num_partitions=num_partitions)
+        self.finalize_each_batch = finalize_each_batch
+
+    def _offset(self) -> int:
+        return sum(ln["n_docs"] for ln in
+                   committed_lineage(self.writer.root))
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self.writer.build(batch_df, batch_id=f"stream-{batch_id:06d}",
+                          doc_id_offset=self._offset(),
+                          finalize=self.finalize_each_batch)
+
+    def start(self, spark: SparkSession, source_dir: str,
+              checkpoint_dir: str, trigger_once: bool = True):
+        """Watch ``source_dir`` for new transcript parquet files and
+        index them incrementally. ``trigger_once`` processes the
+        backlog then stops (the batch-resume pattern); otherwise runs
+        continuously with availableNow semantics."""
+        stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+                  .parquet(source_dir))
+        writer = (stream.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .trigger(availableNow=True))
+        return writer.start()
