@@ -50,7 +50,8 @@ def _transcripts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from embedanything_spark.operators import docops, events, similarity
+    from embedanything_spark.operators import (docops, embedops, events,
+                                               similarity)
     return {
         # BM25 / inverted-index statistics (E2, A6, A1)
         "term_tf": docops.term_tf,
@@ -61,6 +62,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_antijoin": docops.incremental_antijoin,
         "rank_by_source": docops.rank_by_source,
         "rrf_fusion": docops.rrf_fusion,
+        # chunking + distinct-count (P1, A5)
+        "chunk_text": docops.chunk_text,
+        "distinct_terms": docops.distinct_terms,
+        "rolling_window_avg": events.rolling_window_avg,
         # dedup (training-data pipeline)
         "dedup_exact": docops.dedup_exact,
         "dedup_minhash": docops.dedup_minhash,
@@ -74,6 +79,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "ann_ivf": similarity.ann_ivf,
+        # embedding-space ops (E4/E5/E6/E10, A3/A4, P5)
+        "pool_mean": embedops.pool_mean,
+        "l2_normalize": embedops.l2_normalize,
+        "static_embed": embedops.static_embed,
+        "maxsim": embedops.maxsim,
+        "agg_stats": embedops.agg_stats,
+        "cumulative_tokens": embedops.cumulative_tokens,
+        "link_strip": embedops.link_strip,
         # event-time semantics (streaming analogs)
         "event_tumbling_window": events.event_tumbling_window,
         "event_sessionize": events.event_sessionize,
@@ -157,6 +170,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(ROUND(sum(1.0/(60.0 + r))*1e6) AS BIGINT) "
             "AS rrf_micro FROM u GROUP BY doc_id "
             "ORDER BY rrf_micro DESC, doc_id LIMIT 15",
+
+        "chunk_text":
+            "SELECT doc_id, s::BIGINT AS chunk_start, "
+            "substring(text, s::INTEGER + 1, 120) AS chunk, "
+            "length(substring(text, s::INTEGER + 1, 120))::BIGINT AS "
+            "chunk_len FROM (SELECT doc_id, text, "
+            "unnest(generate_series(0, length(text)-1, 90)) AS s "
+            "FROM documents WHERE length(text) > 0)",
+
+        "distinct_terms":
+            f"WITH toks AS ({_TOKS}) "
+            "SELECT source, count(DISTINCT term)::BIGINT AS "
+            "n_distinct_terms, count(*)::BIGINT AS n_tokens "
+            "FROM toks JOIN documents USING(doc_id) WHERE term <> '' "
+            "GROUP BY source",
+
+        "rolling_window_avg":
+            "SELECT user_id, event_id, CAST(ROUND(coalesce(avg(value) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), -1.0)*1e6) AS "
+            "BIGINT) AS prev_avg_micro FROM events",
 
         "dedup_exact":
             "SELECT min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS "
@@ -257,6 +291,59 @@ def oracle_sql() -> dict[str, str]:
             "qv)*1e6) AS BIGINT) AS cos_micro FROM embeddings, q "
             "WHERE label = (SELECT label FROM best) AND vec_id <> 0 "
             "ORDER BY cos_micro DESC, vec_id LIMIT 10",
+
+        "pool_mean":
+            "WITH dims AS (SELECT label, unnest(embedding)::DOUBLE AS v, "
+            "(generate_subscripts(embedding,1)-1)::INTEGER AS dim "
+            "FROM embeddings) "
+            "SELECT label, dim, CAST(ROUND(avg(v)*1e6) AS BIGINT) AS "
+            "mean_micro, count(*)::BIGINT AS n FROM dims WHERE dim < 4 "
+            "GROUP BY label, dim",
+
+        "l2_normalize":
+            "SELECT vec_id, CAST(ROUND((embedding[1]::DOUBLE / "
+            "sqrt(list_sum(list_transform(embedding, "
+            "x -> x::DOUBLE * x::DOUBLE))))*1e6) AS BIGINT) AS "
+            "unit_dim0_micro FROM embeddings WHERE vec_id < 50",
+
+        "static_embed":
+            f"WITH toks AS ({_TOKS}), "
+            "v AS (SELECT doc_id, (CAST(('0x' || "
+            "substring(md5(term),1,12)) AS BIGINT) % 1000000) / 1000000 "
+            "AS val FROM toks WHERE term <> '') "
+            "SELECT doc_id, CAST(ROUND(avg(val)*1e6) AS BIGINT) AS "
+            "embed_micro, count(*)::BIGINT AS n_tokens FROM v "
+            "GROUP BY doc_id",
+
+        "maxsim":
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE "
+            "vec_id = 0) "
+            "SELECT label, CAST(ROUND(max(list_cosine_similarity("
+            "embedding, qv))*1e6) AS BIGINT) AS maxsim_micro "
+            "FROM embeddings, q GROUP BY label",
+
+        "agg_stats":
+            "SELECT source, CAST(ROUND(quantile_cont(n_chars, 0.5)*1e6) "
+            "AS BIGINT) AS median_micro, "
+            "CAST(ROUND(stddev_samp(n_chars)*1e6) AS BIGINT) AS "
+            "stddev_micro, count(*)::BIGINT AS n "
+            "FROM documents GROUP BY source",
+
+        "cumulative_tokens":
+            f"WITH toks AS ({_TOKS}), "
+            "c AS (SELECT d.doc_id, coalesce(x.cnt,0)::BIGINT AS doclen "
+            " FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS cnt "
+            " FROM toks WHERE term <> '' GROUP BY doc_id) x "
+            " USING(doc_id)) "
+            "SELECT d.source, c.doc_id, "
+            "sum(c.doclen) OVER (PARTITION BY d.source ORDER BY c.doc_id "
+            "ROWS UNBOUNDED PRECEDING)::BIGINT AS running_tokens "
+            "FROM c JOIN documents d USING(doc_id)",
+
+        "link_strip":
+            "SELECT doc_id, length(regexp_replace(text, "
+            "'\\[([^\\]]+)\\]\\([^\\)]+\\)', '\\1', 'g'))::BIGINT AS "
+            "stripped_len FROM documents",
 
         "event_tumbling_window":
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_id, "

@@ -53,6 +53,7 @@ from embedanything_spark.index.codec import varint_encode_offsets
 from embedanything_spark.operators.doc_ids import zip_with_index
 
 DEFAULT_BLOCK_RANGE = 65536
+DOCS_PER_PARTITION = 10_000  # caps per-worker memory in the fused pass
 
 _DOC_COLS = ["doc_id", "conv_id", "turn_idx", "role", "ts", "doclen"]
 _BLOCK_COLS = ["term", "range_id", "n", "min_doc", "max_doc", "max_tf",
@@ -196,7 +197,7 @@ def _build_partition_factory(offsets: dict, block_range: int):
     return fn
 
 
-TABLES = ("docmap", "doc_stats", "postings")
+TABLES = ("docmap", "postings")
 
 
 def committed_lineage(root: str | Path) -> list[dict]:
@@ -240,8 +241,18 @@ class IndexWriter:
         self.block_range = block_range
         self.num_partitions = num_partitions
 
-    def _parts(self, spark: SparkSession) -> int:
-        return self.num_partitions or spark.sparkContext.defaultParallelism
+    def _parts(self, spark: SparkSession,
+               transcripts: DataFrame | None = None) -> int:
+        """Partition count scales with DATA (≤ ~DOCS_PER_PARTITION docs
+        each — the fused pass accumulates a partition's postings in
+        worker memory), floored at the core count for parallelism."""
+        if self.num_partitions:
+            return self.num_partitions
+        base = spark.sparkContext.defaultParallelism
+        if transcripts is not None:
+            n = transcripts.count()
+            return max(base, -(-n // DOCS_PER_PARTITION))
+        return base
 
     def clean(self):
         import shutil
@@ -253,7 +264,7 @@ class IndexWriter:
         """Build the index (or one committed batch of it)."""
         spark = transcripts.sparkSession
         t0 = time.time()
-        parts = self._parts(spark)
+        parts = self._parts(spark, transcripts)
 
         from pyspark import StorageLevel
 
@@ -279,16 +290,14 @@ class IndexWriter:
             schema=_UNION_SCHEMA).persist(StorageLevel.MEMORY_AND_DISK)
 
         sub = f"batch-{batch_id}"
+        # docmap carries doclen too (doc_stats is a column-pruned read
+        # of the same table — one write job instead of two)
         (union.filter(F.col("kind") == "doc")
-              .select("doc_id", "conv_id", "turn_idx", "role", "ts")
+              .select("doc_id", "conv_id", "turn_idx", "role", "ts",
+                      "doclen")
               .write.mode("overwrite")
               .parquet(str(self.root / "docmap" / sub)))
         parent.unpersist()  # union is materialized now
-
-        (union.filter(F.col("kind") == "doc")
-              .select("doc_id", "doclen")
-              .write.mode("overwrite")
-              .parquet(str(self.root / "doc_stats" / sub)))
 
         (union.filter(F.col("kind") == "block")
               .select(*_BLOCK_COLS)
@@ -336,7 +345,7 @@ class IndexWriter:
                  .parquet(str(self.root / "dictionary")))
 
         stats = spark.read.parquet(
-            *table_paths(self.root, "doc_stats")).agg(
+            *table_paths(self.root, "docmap")).agg(
             F.count("*").alias("n"), F.avg("doclen").alias("avgdl"),
             F.sum("doclen").alias("total_tokens")).collect()[0]
         meta = {

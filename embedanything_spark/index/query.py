@@ -87,29 +87,31 @@ def _merge_topk(best_doc, best_score, doc, score, k):
     return d[order], s[order]
 
 
-def _score_partition_factory(qinfo: dict, avgdl: float, prune: bool):
-    """qinfo: {query_id: {"k": int, "terms": {term: idf}}}."""
+def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
+                             prune: bool):
+    """qinfo: {query_id: {"k": int, "terms": [term, ...]}}. Each block
+    row arrives with its term's global df (broadcast dictionary join),
+    so idf is computed here — no separate dictionary round-trip."""
 
     def score_partition(batches):
         chunks = [c for c in batches if len(c)]
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        # per-block upper-bound impact (idf applied per query below)
+        pdf["idf"] = _idf(n_docs, pdf["df"].to_numpy(np.float64))
+        # per-block upper-bound contribution = idf · impact(max_tf,min_dl)
         mtf = pdf["max_tf"].to_numpy(np.float64)
         mdl = pdf["min_dl"].to_numpy(np.float64)
-        pdf["impact_ub"] = (mtf * (K1 + 1.0)) / \
+        pdf["ub"] = pdf["idf"].to_numpy() * (mtf * (K1 + 1.0)) / \
             (mtf + K1 * (1.0 - B + B * mdl / avgdl))
         out = []
         for qid, q in qinfo.items():
-            terms = q["terms"]
-            sel = pdf[pdf["term"].isin(list(terms))]
+            sel = pdf[pdf["term"].isin(q["terms"])]
             if len(sel) == 0:
                 continue
             k = q["k"]
-            ub = sel["impact_ub"].to_numpy() * \
-                sel["term"].map(terms).to_numpy(np.float64)
-            range_ub = pd.Series(ub).groupby(
+            idf_by_term = dict(zip(sel["term"], sel["idf"]))
+            range_ub = pd.Series(sel["ub"].to_numpy()).groupby(
                 sel["range_id"].to_numpy()).sum()
             range_order = range_ub.sort_values(ascending=False)
             best_doc = np.empty(0, dtype=np.int64)
@@ -118,7 +120,8 @@ def _score_partition_factory(qinfo: dict, avgdl: float, prune: bool):
             for rid, rub in range_order.items():
                 if prune and len(best_doc) == k and rub < best_score[-1]:
                     break  # strict: ties at the k-th score still scored
-                doc, score = _decode_contribs(by_range[rid], terms, avgdl)
+                doc, score = _decode_contribs(by_range[rid],
+                                              idf_by_term, avgdl)
                 best_doc, best_score = _merge_topk(
                     best_doc, best_score, doc, score, k)
             out.append(pd.DataFrame({
@@ -149,45 +152,43 @@ class IndexReader:
                num_buckets: int | None = None) -> DataFrame:
         """queries: pandas (query_id, query_text, k) →
         DataFrame (query_id, rank, doc_id, conv_id, turn_idx, score)."""
-        q_terms = {int(r.query_id): (sorted(set(tokenize(r.query_text))),
-                                     int(r.k))
-                   for r in queries.itertuples()}
-        all_terms = sorted({t for ts, _ in q_terms.values() for t in ts})
-        if not all_terms:
-            return self._empty()
-        dict_pdf = (self.spark.read.parquet(str(self.root / "dictionary"))
-                    .filter(F.col("term").isin(all_terms))
-                    .select("term", "df").toPandas())
-        if len(dict_pdf) == 0:
-            return self._empty()
-        idf = dict(zip(dict_pdf["term"],
-                       _idf(self.meta["n_docs"],
-                            dict_pdf["df"].to_numpy(np.float64))))
         qinfo = {}
-        for qid, (terms, k) in q_terms.items():
-            known = {t: idf[t] for t in terms if t in idf}
-            if known:
-                qinfo[qid] = {"k": k, "terms": known}
+        all_terms: set[str] = set()
+        for r in queries.itertuples():
+            terms = sorted(set(tokenize(r.query_text)))
+            if terms:
+                qinfo[int(r.query_id)] = {"k": int(r.k), "terms": terms}
+                all_terms.update(terms)
         if not qinfo:
             return self._empty()
 
+        # dictionary df rides along via a broadcast join (term-sorted
+        # dictionary files → row-group pruned scan); unseen terms simply
+        # join away — ONE Spark job end-to-end
+        dictf = (self.spark.read.parquet(str(self.root / "dictionary"))
+                 .filter(F.col("term").isin(sorted(all_terms)))
+                 .select("term", "df"))
         n_buckets = num_buckets or \
             self.spark.sparkContext.defaultParallelism
         blocks = (self.spark.read
                   .parquet(*table_paths(self.root, "postings"))
-                  .filter(F.col("term").isin(list(idf)))
+                  .filter(F.col("term").isin(sorted(all_terms)))
+                  .join(F.broadcast(dictf), "term")
                   .repartition(n_buckets, "range_id"))
         cands = blocks.mapInPandas(
-            _score_partition_factory(qinfo, self.meta["avgdl"], prune),
+            _score_partition_factory(qinfo, self.meta["n_docs"],
+                                     self.meta["avgdl"], prune),
             schema=_CAND_SCHEMA)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id"))
         kmap = F.create_map(*[x for qid, q in qinfo.items()
                               for x in (F.lit(qid), F.lit(q["k"]))])
         docmap = self.spark.read.parquet(*table_paths(self.root, "docmap"))
-        return (cands
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= kmap[F.col("query_id")])
-                .join(docmap, "doc_id")
+        ranked = (cands
+                  .withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= kmap[F.col("query_id")]))
+        # ranked is ≤ Σk rows but its stats are opaque (Python stage) —
+        # broadcast it so the docmap join never shuffles the big side
+        return (docmap.join(F.broadcast(ranked), "doc_id")
                 .select(*_RESULT_COLS)
                 .orderBy("query_id", "rank"))

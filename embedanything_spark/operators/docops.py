@@ -78,17 +78,18 @@ def bm25_topk(spark, sf_dir):
     """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) top-20 for the fixed
     query — the flagship operator, DataFrame-only plan (§3.3)."""
     docs = load(spark, sf_dir, "documents")
-    tf = term_tf(spark, sf_dir).filter(F.col("term").isin(DOC_QUERY_TERMS))
+    # tf filtered to query terms; df of those terms = a count window
+    # over the SAME filtered rows (no second corpus pass)
+    tf = (term_tf(spark, sf_dir)
+          .filter(F.col("term").isin(DOC_QUERY_TERMS))
+          .withColumn("df", F.count("*").over(
+              Window.partitionBy("term")).cast("double")))
     dl = doc_stats(spark, sf_dir)
     n_docs = docs.count()
-    stats = dl.agg(F.avg("doclen").alias("avgdl")).collect()[0]
-    avgdl = float(stats["avgdl"])
-    df_ = (term_tf(spark, sf_dir).groupBy("term")
-           .agg(F.count("*").alias("df"))
-           .filter(F.col("term").isin(DOC_QUERY_TERMS)))
+    avgdl = float(dl.agg(F.avg("doclen")).collect()[0][0])
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) /
                 (F.col("df") + 0.5))
-    contrib = (tf.join(F.broadcast(df_), "term").join(dl, "doc_id")
+    contrib = (tf.join(dl, "doc_id")
                .select("doc_id",
                        (idf * (F.col("tf") * F.lit(K1 + 1.0)) /
                         (F.col("tf") + F.lit(K1) *
@@ -198,6 +199,37 @@ def doc_fingerprint(spark, sf_dir):
                (F.col("pos") + 1)) % F.lit(2**31)).alias("fingerprint"))
     return fp.select("doc_id", F.col("fingerprint").cast("long")
                      .alias("fingerprint"))
+
+
+def chunk_text(spark, sf_dir):
+    """P1 character chunking (TextEmbedConfig chunk_size/overlap,
+    config.rs:37-78): fixed 120-char windows, 30-char overlap, as a
+    pure Catalyst plan (sequence → posexplode → substring)."""
+    size, step = 120, 90
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.length("text") > 0))
+    starts = F.sequence(F.lit(0), F.length("text") - 1, F.lit(step))
+    return (docs
+            .select("doc_id", "text",
+                    F.explode(starts).alias("s"))
+            .select("doc_id",
+                    F.col("s").cast("long").alias("chunk_start"),
+                    F.expr(f"substring(text, s + 1, {size})")
+                    .alias("chunk"))
+            .withColumn("chunk_len", F.length("chunk").cast("long")))
+
+
+def distinct_terms(spark, sf_dir):
+    """A5 distinct-count progress tracking: exact distinct terms and
+    token totals per source."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select("source",
+                        F.explode(F.split(F.lower("text"), " "))
+                        .alias("term"))
+            .filter(F.col("term") != ""))
+    return (toks.groupBy("source")
+            .agg(F.countDistinct("term").alias("n_distinct_terms"),
+                 F.count("*").alias("n_tokens")))
 
 
 # ---------- Deduplication (training-data pipeline) ----------

@@ -30,6 +30,19 @@ def event_tumbling_window(spark, sf_dir):
                  micro(F.sum("value")).alias("sum_value_micro")))
 
 
+def rolling_window_avg(spark, sf_dir):
+    """W1 rolling-window context (statistical.rs:217-231): each event's
+    value vs the mean of the previous 5 events of the same user."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-5, -1))
+    return (ev.select("user_id", "event_id",
+                      F.avg("value").over(w).alias("prev_avg"))
+            .select("user_id", "event_id",
+                    micro(F.coalesce(F.col("prev_avg"), F.lit(-1.0)))
+                    .alias("prev_avg_micro")))
+
+
 def event_sessionize(spark, sf_dir):
     """Gap-based sessions (>30 min inactivity per user): session count
     and mean session length per user — lag + running-sum windows."""

@@ -57,7 +57,7 @@ def test_parallelism_invariance(spark, tmp_path, transcripts_df,
     root2 = str(tmp_path / "idx2")
     IndexWriter(root2, block_range=256, num_partitions=2).build(
         transcripts_df)
-    for table in ("dictionary", "doc_stats", "docmap"):
+    for table in ("dictionary", "docmap"):
         def load(root):
             paths = ([f"{root}/dictionary"] if table == "dictionary"
                      else table_paths(root, table))
