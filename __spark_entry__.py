@@ -41,7 +41,10 @@ def _transcripts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              gen_transcripts_df)
     from embedanything_spark.index.build import IndexWriter
     from embedanything_spark.index.query import IndexReader
+    from embedanything_spark.session import package_zip
 
+    # the caller's session may not have the package on executors
+    spark.sparkContext.addPyFile(package_zip())
     root = tempfile.mkdtemp(prefix="ea_idx_")
     transcripts = gen_transcripts_df(spark, 500)
     IndexWriter(root, num_partitions=8).build(transcripts)
