@@ -93,9 +93,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time semantics (streaming analogs)
         "event_tumbling_window": events.event_tumbling_window,
         "event_sessionize": events.event_sessionize,
+        # multimodal plumbing (stubbed decode — no SQL oracle; the
+        # deterministic features are asserted in tests/)
+        "multimodal_features": _multimodal_features,
+        "multimodal_near_dup": _multimodal_near_dup,
         # the engine itself (no SQL oracle — checked by tests/)
         "transcripts_bm25_wand": _transcripts_bm25,
     }
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from embedanything_spark.operators.multimodal import (extract_features,
+                                                          synth_assets)
+    from embedanything_spark.session import package_zip
+    spark.sparkContext.addPyFile(package_zip())
+    return extract_features(synth_assets(spark, 120)).drop("embedding")
+
+
+def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from embedanything_spark.operators.multimodal import (
+        extract_features, near_dup_by_embedding, synth_assets)
+    from embedanything_spark.session import package_zip
+    spark.sparkContext.addPyFile(package_zip())
+    feats = extract_features(synth_assets(spark, 60))
+    dups = feats.limit(5).withColumn(
+        "path", F.concat(F.col("path"), F.lit("__copy")))
+    return (near_dup_by_embedding(feats.union(dups), threshold=0.99)
+            .select("p1", "p2"))
 
 
 _TOKS = ("SELECT doc_id, unnest(string_split(lower(text),' ')) AS term "

@@ -137,7 +137,14 @@ class IndexReader:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = Path(root)
-        self.meta = json.loads((self.root / "_meta/meta.json").read_text())
+        meta_path = self.root / "_meta/meta.json"
+        if not meta_path.exists():
+            raise FileNotFoundError(
+                f"no finalized index at {root!r}: {meta_path} missing — "
+                "run IndexWriter.build / CheckpointedIndexBuilder.run "
+                "(finalize writes meta.json last; a crashed build needs "
+                "resume)")
+        self.meta = json.loads(meta_path.read_text())
         if self.meta["analyzer_version"] != ANALYZER_VERSION:
             raise ValueError(
                 f"index built with analyzer v{self.meta['analyzer_version']}"
