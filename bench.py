@@ -21,7 +21,7 @@ Prints ONE JSON line:
 and writes the human table to BENCH/BASELINE.md.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
-SPARK_GRAFT_BENCH_CONVS (default 400000 ≈ 3.2M turns), SPARK_GRAFT_BENCH_N,
+SPARK_GRAFT_BENCH_CONVS (default 250000 ≈ 2M turns), SPARK_GRAFT_BENCH_N,
 SPARK_GRAFT_BENCH_REPEATS.
 """
 
@@ -40,7 +40,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400000"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "250000"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 # N vs 4N pair: 4 vs 16 cores by default. On this single box the
 # memory-bandwidth knee sits between 16 and 32 concurrent workers
