@@ -25,17 +25,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-20 over /root/testdata/sf0.001 documents."""
+    """Flagship: BM25 top-20 over /root/testdata/sf0.001 documents,
+    answered by the posting-list engine (index build + block-max WAND
+    query via IndexReader — precomputed n_docs/avgdl from _meta, no
+    per-query corpus scan)."""
     from embedanything_spark.operators import docops
-    return docops.bm25_topk(spark, "/root/testdata/sf0.001")
+    return docops.bm25_topk_indexed(spark, "/root/testdata/sf0.001")
+
+
+_WAND_ORACLE_DIR = "/tmp/ea_wand_oracle"
 
 
 def _transcripts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full posting-list engine end-to-end (rows-only check): build
-    a compressed block index over synthetic transcripts, run the frozen
-    query set with block-max WAND pruning. Correctness vs the exact
-    numpy oracle is asserted in tests/ (rank-identical, rtol=1e-6)."""
-    import tempfile
+    """The full posting-list engine end-to-end, DuckDB-oracle-checked:
+    build a compressed block index over synthetic transcripts, run the
+    frozen query set with block-max WAND pruning. The transcripts and
+    query set are persisted to a fixed path so oracle_sql() can score
+    the SAME rows independently in DuckDB (tokenizer parity:
+    [\\p{L}\\p{N}_]+ over NFC-lowercased text == the frozen analyzer's
+    \\w+). Scores are micro-rounded and ranks reassigned on
+    (score_micro DESC, doc_id ASC) on BOTH sides; the engine fetches
+    k+32 so every candidate that can enter the micro-rounded top-k is
+    present. Rank-identity vs the exact numpy oracle (raw f64 scores)
+    is additionally asserted in tests/."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from embedanything_spark.datagen import (gen_query_set,
                                              gen_transcripts_df)
@@ -45,11 +61,30 @@ def _transcripts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the caller's session may not have the package on executors
     spark.sparkContext.addPyFile(package_zip())
-    root = tempfile.mkdtemp(prefix="ea_idx_")
-    transcripts = gen_transcripts_df(spark, 500)
-    IndexWriter(root, num_partitions=8).build(transcripts)
+    root = Path(_WAND_ORACLE_DIR)
+    shutil.rmtree(root, ignore_errors=True)
+    gen_transcripts_df(spark, 500).write.mode("overwrite").parquet(
+        str(root / "transcripts"))
     queries = gen_query_set()
-    return IndexReader(spark, root).search(queries, prune=True)
+    spark.createDataFrame(queries).write.mode("overwrite").parquet(
+        str(root / "queries"))
+    transcripts = spark.read.parquet(str(root / "transcripts"))
+    IndexWriter(str(root / "index"), num_partitions=8).build(transcripts)
+    qfetch = queries.copy()
+    qfetch["k"] = qfetch["k"] + 32
+    res = IndexReader(spark, str(root / "index")).search(qfetch, prune=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id"))
+    kmap = F.create_map(*[x for r in queries.itertuples()
+                          for x in (F.lit(int(r.query_id)),
+                                    F.lit(int(r.k)))])
+    return (res
+            .withColumn("score_micro",
+                        F.round(F.col("score") * 1e6).cast("long"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= kmap[F.col("query_id")])
+            .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
+                    "score_micro"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -61,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dictionary": docops.term_dictionary,
         "doc_stats": docops.doc_stats,
         "bm25_topk": docops.bm25_topk,
+        "bm25_topk_indexed": docops.bm25_topk_indexed,
         # joins / windows / top-k (J2, J3, W2, T2)
         "incremental_antijoin": docops.incremental_antijoin,
         "rank_by_source": docops.rank_by_source,
@@ -97,7 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic features are asserted in tests/)
         "multimodal_features": _multimodal_features,
         "multimodal_near_dup": _multimodal_near_dup,
-        # the engine itself (no SQL oracle — checked by tests/)
+        # the engine itself (DuckDB-oracle-checked: full BM25 over the
+        # persisted transcripts, independently tokenized in SQL)
         "transcripts_bm25_wand": _transcripts_bm25,
     }
 
@@ -142,8 +179,50 @@ _SHINGLES = (
     "JOIN base t3 ON t1.doc_id=t3.doc_id AND t3.pos=t1.pos+2)")
 
 
+# The engine-side analyzer is NFC-normalize → lower → \w+ (Unicode).
+# RE2's [\p{L}\p{N}_]+ over lower(nfc_normalize(text)) matches it
+# token-for-token (Python \w == Unicode alnum + underscore).
+_WAND_TOKS = (f"regexp_extract_all(lower(nfc_normalize({{col}})), "
+              r"'[\p{{L}}\p{{N}}_]+')")
+
+_WAND_SQL = (
+    "WITH t AS (SELECT conv_id, turn_idx, text FROM "
+    f"read_parquet('{_WAND_ORACLE_DIR}/transcripts/*.parquet')), "
+    "d AS (SELECT conv_id, turn_idx, "
+    " row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, "
+    f" {_WAND_TOKS.format(col='text')} AS toks FROM t), "
+    "dl AS (SELECT doc_id, conv_id, turn_idx, len(toks)::BIGINT AS "
+    " doclen FROM d), "
+    "st AS (SELECT count(*)::DOUBLE AS n, avg(doclen)::DOUBLE AS avgdl "
+    " FROM dl), "
+    "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM "
+    " (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY doc_id, "
+    " term), "
+    "dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+    "q AS (SELECT query_id, k, unnest(list_distinct("
+    f" {_WAND_TOKS.format(col='query_text')})) AS term FROM "
+    f" read_parquet('{_WAND_ORACLE_DIR}/queries/*.parquet')), "
+    "contrib AS (SELECT q.query_id, q.k, tf.doc_id, "
+    " ln(1.0 + (st.n - dft.df + 0.5)/(dft.df + 0.5)) * "
+    " (tf.tf * (1.2 + 1.0)) / "
+    " (tf.tf + 1.2*((1.0 - 0.75) + 0.75*dl2.doclen/st.avgdl)) AS c "
+    " FROM q JOIN dft USING(term) JOIN tf USING(term) "
+    " JOIN dl dl2 ON dl2.doc_id = tf.doc_id CROSS JOIN st), "
+    "sc AS (SELECT query_id, k, doc_id, "
+    " CAST(ROUND(sum(c)*1e6) AS BIGINT) AS score_micro FROM contrib "
+    " GROUP BY query_id, k, doc_id), "
+    "rr AS (SELECT query_id, doc_id, score_micro, k, "
+    " row_number() OVER (PARTITION BY query_id "
+    " ORDER BY score_micro DESC, doc_id) AS rnk FROM sc) "
+    "SELECT rr.query_id, rr.rnk::BIGINT AS \"rank\", rr.doc_id, "
+    "dl.conv_id, dl.turn_idx, rr.score_micro "
+    "FROM rr JOIN dl USING(doc_id) WHERE rr.rnk <= rr.k")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "transcripts_bm25_wand": _WAND_SQL,
+
         "term_tf": f"{_TF} SELECT doc_id, term, tf FROM tf",
 
         "term_dictionary":
@@ -158,6 +237,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN c USING(doc_id)",
 
         "bm25_topk":
+            f"{_TF}, "
+            "dl AS (SELECT d.doc_id, coalesce(c.cnt,0)::BIGINT AS doclen "
+            " FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS cnt "
+            " FROM toks WHERE term <> '' GROUP BY doc_id) c USING(doc_id)), "
+            "st AS (SELECT count(*)::DOUBLE AS n, avg(doclen)::DOUBLE AS "
+            " avgdl FROM dl), "
+            "dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf "
+            " GROUP BY term), "
+            "contrib AS (SELECT tf.doc_id, "
+            " ln(1.0 + (st.n - dft.df + 0.5)/(dft.df + 0.5)) * "
+            " (tf.tf * (1.2 + 1.0)) / "
+            " (tf.tf + 1.2*((1.0 - 0.75) + 0.75*dl.doclen/st.avgdl)) AS c "
+            " FROM tf JOIN dft USING(term) JOIN dl USING(doc_id) "
+            " CROSS JOIN st "
+            " WHERE tf.term IN ('spark','join','filter')) "
+            "SELECT doc_id, CAST(ROUND(sum(c)*1e6) AS BIGINT) AS "
+            "score_micro FROM contrib GROUP BY doc_id "
+            "ORDER BY score_micro DESC, doc_id LIMIT 20",
+
+        # same oracle as bm25_topk — the engine path must reproduce the
+        # index-less DataFrame plan exactly
+        "bm25_topk_indexed":
             f"{_TF}, "
             "dl AS (SELECT d.doc_id, coalesce(c.cnt,0)::BIGINT AS doclen "
             " FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS cnt "

@@ -28,6 +28,7 @@ SPARK_GRAFT_BENCH_REPEATS.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import statistics
@@ -154,7 +155,7 @@ def bench_build_and_query(results: dict) -> None:
         results["query"] = {
             "n_queries": len(lat),
             "p50_sec": round(statistics.median(lat), 3),
-            "p95_sec": round(sorted(lat)[int(0.95 * len(lat)) - 1], 3),
+            "p95_sec": round(sorted(lat)[math.ceil(0.95 * len(lat)) - 1], 3),
             "mean_sec": round(statistics.mean(lat), 3),
             "batch_50_sec": round(batch_sec, 3),
             "amortized_per_query_sec": round(batch_sec / len(lat), 4),

@@ -45,6 +45,9 @@ def _vocab() -> tuple[np.ndarray, np.ndarray]:
     global _CDF, _VOCAB
     if _CDF is None:
         _CDF = np.cumsum(_zipf_probs())
+        # float cumsum can end slightly below 1.0; a draw above it would
+        # searchsorted to VOCAB_SIZE (index error). Pin the tail.
+        _CDF[-1] = 1.0
         _VOCAB = np.array([f"term{i:05d}" for i in range(VOCAB_SIZE)])
     return _VOCAB, _CDF
 

@@ -419,7 +419,11 @@ class CheckpointedIndexBuilder:
                      for ln in committed_lineage(self.w.root)}
         offset = 0
         done = []
-        for i in range(self.n_batches):
+        # ceil-division steps can yield fewer than n_batches-1 bounds on
+        # small corpora (e.g. 9 convs / 4 batches → 2 bounds); the
+        # effective batch count is len(bounds)+1, never more
+        n_eff = min(self.n_batches, len(bounds) + 1)
+        for i in range(n_eff):
             bid = f"{i:04d}"
             lo = bounds[i - 1] if i > 0 else None
             hi = bounds[i] if i < len(bounds) else None

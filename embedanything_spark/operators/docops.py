@@ -102,6 +102,50 @@ def bm25_topk(spark, sf_dir):
             .limit(20))
 
 
+def bm25_topk_indexed(spark, sf_dir):
+    """The same flagship query answered by the REAL posting-list
+    engine: map the documents table to transcript shape (one turn per
+    doc, conv_id = zero-padded doc_id so the engine's dense doc_id
+    order equals the original), build the compressed block index, and
+    run the query through block-max WAND. Shares bm25_topk's DuckDB
+    oracle — the index path must reproduce the index-less DataFrame
+    plan exactly. Engine fetches k+32, then ranks are cut on
+    (score_micro DESC, doc_id ASC) to match the oracle's LIMIT
+    boundary under micro-rounding."""
+    import shutil
+    from pathlib import Path
+
+    import pandas as pd
+
+    from embedanything_spark.index.build import IndexWriter
+    from embedanything_spark.index.query import IndexReader
+    from embedanything_spark.session import package_zip
+
+    spark.sparkContext.addPyFile(package_zip())
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "text")
+    root = Path(f"/tmp/ea_docidx_{Path(sf_dir).name}")
+    shutil.rmtree(root, ignore_errors=True)
+    IndexWriter(str(root), num_partitions=8).build(t)
+    q = pd.DataFrame({"query_id": [0],
+                      "query_text": [" ".join(DOC_QUERY_TERMS)],
+                      "k": [20 + 32]})
+    res = IndexReader(spark, str(root)).search(q, prune=True)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (res
+            .select(F.col("conv_id").cast("long").alias("doc_id"),
+                    micro(F.col("score")).alias("score_micro"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 20)
+            .drop("rnk")
+            .orderBy(F.desc("score_micro"), F.asc("doc_id")))
+
+
 def incremental_antijoin(spark, sf_dir):
     """S5/J2: skip already-indexed docs (indexed set = doc_id % 7 == 0)."""
     docs = load(spark, sf_dir, "documents")
