@@ -88,8 +88,8 @@ def _transcripts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from embedanything_spark.operators import (docops, embedops, events,
-                                               similarity)
+    from embedanything_spark.operators import (chunkers, docops, embedops,
+                                               events, similarity)
     return {
         # BM25 / inverted-index statistics (E2, A6, A1)
         "term_tf": docops.term_tf,
@@ -101,8 +101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_antijoin": docops.incremental_antijoin,
         "rank_by_source": docops.rank_by_source,
         "rrf_fusion": docops.rrf_fusion,
-        # chunking + distinct-count (P1, A5)
+        "hybrid_rrf": docops.hybrid_rrf,
+        "rerank_topk": docops.rerank_topk,
+        # chunking + distinct-count (P1, P2, P3, A5)
         "chunk_text": docops.chunk_text,
+        "statistical_chunk": chunkers.statistical_chunk,
+        "cumulative_chunk": chunkers.cumulative_chunk,
         "distinct_terms": docops.distinct_terms,
         "rolling_window_avg": events.rolling_window_avg,
         # dedup (training-data pipeline)
@@ -219,6 +223,39 @@ _WAND_SQL = (
     "FROM rr JOIN dl USING(doc_id) WHERE rr.rnk <= rr.k")
 
 
+def _chunker_sql(boundary: str, th_join: str, frame: str) -> str:
+    """Shared oracle for the semantic chunkers: deterministic 4-dim
+    window embeddings → cosine vs a preceding-frame mean → boundary
+    predicate → running chunk ids → per-chunk integral rollup."""
+    dims = ", ".join(
+        f"avg((CAST(('0x' || substring(md5(term),{1 + 6 * d},6)) AS "
+        f"BIGINT) % 1000000)/1000000.0) AS e{d}" for d in range(4))
+    rolls = ", ".join(
+        f"avg(e{d}) OVER (PARTITION BY doc_id ORDER BY win_id {frame}) "
+        f"AS r{d}" for d in range(4))
+    dot = "+".join(f"e{d}*r{d}" for d in range(4))
+    ne = "+".join(f"e{d}*e{d}" for d in range(4))
+    nr = "+".join(f"r{d}*r{d}" for d in range(4))
+    return (
+        f"WITH base AS ({_TOKS_POS}), "
+        "wins AS (SELECT doc_id, CAST(floor((pos-1)/10.0) AS BIGINT) AS "
+        f"win_id, count(*) AS n_tok, {dims} FROM base "
+        " GROUP BY doc_id, win_id), "
+        f"r AS (SELECT *, {rolls} FROM wins), "
+        f"sim AS (SELECT *, ({dot})/(sqrt({ne})*sqrt({nr})) AS sim "
+        " FROM r), "
+        f"b AS (SELECT sim.*, ({boundary}) AS boundary FROM sim "
+        f"{th_join}), "
+        "c AS (SELECT *, sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER "
+        " (PARTITION BY doc_id ORDER BY win_id ROWS UNBOUNDED PRECEDING) "
+        " AS chunk_id FROM b) "
+        "SELECT doc_id, chunk_id::BIGINT AS chunk_id, "
+        "min(win_id)::BIGINT AS start_win, count(*)::BIGINT AS n_windows, "
+        "sum(n_tok)::BIGINT AS n_tokens, "
+        "CAST(ceil(sum(n_tok)/80.0) AS BIGINT) AS n_subchunks "
+        "FROM c GROUP BY doc_id, chunk_id")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcripts_bm25_wand": _WAND_SQL,
@@ -301,6 +338,82 @@ def oracle_sql() -> dict[str, str]:
             "AS rrf_micro FROM u GROUP BY doc_id "
             "ORDER BY rrf_micro DESC, doc_id LIMIT 15",
 
+        # live sparse (BM25) × live dense (cosine) retriever fusion
+        "hybrid_rrf":
+            f"{_TF}, "
+            "dl AS (SELECT d.doc_id, coalesce(c.cnt,0)::BIGINT AS doclen "
+            " FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS cnt "
+            " FROM toks WHERE term <> '' GROUP BY doc_id) c USING(doc_id)), "
+            "st AS (SELECT count(*)::DOUBLE AS n, avg(doclen)::DOUBLE AS "
+            " avgdl FROM dl), "
+            "dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf "
+            " GROUP BY term), "
+            "contrib AS (SELECT tf.doc_id, "
+            " ln(1.0 + (st.n - dft.df + 0.5)/(dft.df + 0.5)) * "
+            " (tf.tf * (1.2 + 1.0)) / "
+            " (tf.tf + 1.2*((1.0 - 0.75) + 0.75*dl.doclen/st.avgdl)) AS c "
+            " FROM tf JOIN dft USING(term) JOIN dl USING(doc_id) "
+            " CROSS JOIN st "
+            " WHERE tf.term IN ('spark','join','filter')), "
+            "sc AS (SELECT doc_id, CAST(ROUND(sum(c)*1e6) AS BIGINT) AS "
+            " score_micro FROM contrib GROUP BY doc_id), "
+            "r1 AS (SELECT doc_id, row_number() OVER (ORDER BY "
+            " score_micro DESC, doc_id) AS r FROM sc), "
+            "q AS (SELECT embedding AS qv FROM embeddings "
+            " WHERE vec_id = 0), "
+            "cosd AS (SELECT vec_id AS doc_id, CAST(ROUND("
+            " list_cosine_similarity(embedding, qv)*1e6) AS BIGINT) AS "
+            " cos_micro FROM embeddings, q WHERE vec_id <> 0), "
+            "r2 AS (SELECT doc_id, row_number() OVER (ORDER BY "
+            " cos_micro DESC, doc_id) AS r FROM cosd), "
+            "u AS (SELECT * FROM r1 WHERE r <= 50 "
+            " UNION ALL SELECT * FROM r2 WHERE r <= 50) "
+            "SELECT doc_id, CAST(ROUND(sum(1.0/(60.0 + r))*1e6) AS "
+            "BIGINT) AS rrf_micro FROM u GROUP BY doc_id "
+            "ORDER BY rrf_micro DESC, doc_id LIMIT 15",
+
+        # deterministic stub cross-encoder (index/rerank.py) over the
+        # BM25 top-20: overlap logit + md5-jitter → sigmoid, exact
+        # arithmetic replicated here (little-endian first-4-bytes jitter)
+        "rerank_topk":
+            f"{_TF}, "
+            "dl AS (SELECT d.doc_id, coalesce(c.cnt,0)::BIGINT AS doclen "
+            " FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS cnt "
+            " FROM toks WHERE term <> '' GROUP BY doc_id) c USING(doc_id)), "
+            "st AS (SELECT count(*)::DOUBLE AS n, avg(doclen)::DOUBLE AS "
+            " avgdl FROM dl), "
+            "dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf "
+            " GROUP BY term), "
+            "contrib AS (SELECT tf.doc_id, "
+            " ln(1.0 + (st.n - dft.df + 0.5)/(dft.df + 0.5)) * "
+            " (tf.tf * (1.2 + 1.0)) / "
+            " (tf.tf + 1.2*((1.0 - 0.75) + 0.75*dl.doclen/st.avgdl)) AS c "
+            " FROM tf JOIN dft USING(term) JOIN dl USING(doc_id) "
+            " CROSS JOIN st "
+            " WHERE tf.term IN ('spark','join','filter')), "
+            "sc AS (SELECT doc_id, CAST(ROUND(sum(c)*1e6) AS BIGINT) AS "
+            " score_micro FROM contrib GROUP BY doc_id "
+            " ORDER BY score_micro DESC, doc_id LIMIT 20), "
+            "p AS (SELECT sc.doc_id, sc.score_micro, "
+            " list_distinct(list_filter(string_split(lower(d.text),' '), "
+            "  x -> x <> '')) AS tset, "
+            " md5('spark join filter' || chr(0) || d.text) AS m "
+            " FROM sc JOIN documents d USING(doc_id)), "
+            "s AS (SELECT doc_id, score_micro, "
+            " (CASE WHEN list_contains(tset,'spark') THEN 1 ELSE 0 END + "
+            "  CASE WHEN list_contains(tset,'join') THEN 1 ELSE 0 END + "
+            "  CASE WHEN list_contains(tset,'filter') THEN 1 ELSE 0 END) "
+            " / 3.0 AS overlap, "
+            " CAST(('0x' || substr(m,7,2) || substr(m,5,2) || "
+            " substr(m,3,2) || substr(m,1,2)) AS BIGINT) / 4294967296.0 "
+            " AS jitter FROM p), "
+            "sg AS (SELECT doc_id, score_micro, CAST(ROUND((1.0/(1.0 + "
+            " exp(-(4.0*overlap - 2.0 + 0.1*jitter))))*1e6) AS BIGINT) "
+            " AS rerank_micro FROM s) "
+            "SELECT doc_id, score_micro, rerank_micro, "
+            "row_number() OVER (ORDER BY rerank_micro DESC, doc_id)"
+            "::BIGINT AS \"rank\" FROM sg",
+
         "chunk_text":
             "SELECT doc_id, s::BIGINT AS chunk_start, "
             "substring(text, s::INTEGER + 1, 120) AS chunk, "
@@ -308,6 +421,17 @@ def oracle_sql() -> dict[str, str]:
             "chunk_len FROM (SELECT doc_id, text, "
             "unnest(generate_series(0, length(text)-1, 90)) AS s "
             "FROM documents WHERE length(text) > 0)",
+
+        "statistical_chunk": _chunker_sql(
+            "sim IS NULL OR sim < th",
+            "LEFT JOIN (SELECT doc_id, quantile_cont(sim, 0.25) AS th "
+            "FROM sim WHERE sim IS NOT NULL GROUP BY doc_id) th "
+            "USING(doc_id)",
+            "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING"),
+
+        "cumulative_chunk": _chunker_sql(
+            "sim IS NULL OR sim < 0.98", "",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"),
 
         "distinct_terms":
             f"WITH toks AS ({_TOKS}) "
@@ -342,20 +466,32 @@ def oracle_sql() -> dict[str, str]:
 
         "dedup_simhash":
             f"{_TF}, "
-            "h AS (SELECT doc_id, tf, CAST(('0x' || "
-            " substring(md5(term),1,4)) AS BIGINT) AS h FROM tf), "
+            "h AS (SELECT doc_id, tf, "
+            " CAST(('0x' || substring(md5(term),1,8)) AS BIGINT) AS h_lo, "
+            " CAST(('0x' || substring(md5(term),9,8)) AS BIGINT) AS h_hi "
+            " FROM tf), "
             "bits AS (SELECT doc_id, b, "
-            " sum((((h >> b) & 1)*2 - 1) * tf) AS v FROM h CROSS JOIN "
-            " (SELECT unnest(range(16)) AS b) GROUP BY doc_id, b) "
-            "SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) "
-            "ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id",
+            " sum(((((CASE WHEN b < 32 THEN h_lo ELSE h_hi END) "
+            " >> (b % 32)) & 1)*2 - 1) * tf) AS v FROM h CROSS JOIN "
+            " (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b) "
+            "SELECT doc_id, "
+            "CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN "
+            "(1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS simhash_hi, "
+            "CAST(sum(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) "
+            "ELSE 0 END) AS BIGINT) AS simhash_lo "
+            "FROM bits GROUP BY doc_id",
 
         "dedup_ngram_jaccard":
             f"WITH {_SHINGLES}, "
-            "sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh "
+            # rare-shingle universe: df-capped symmetrically (sizes AND
+            # common counts), mirroring the Spark hot-shingle anti-join
+            "rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN "
+            " (SELECT shingle FROM sh GROUP BY shingle "
+            "  HAVING count(*) <= 64) USING(shingle)), "
+            "sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM rare "
             " GROUP BY doc_id), "
             "common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
-            " count(*)::BIGINT AS common FROM sh a JOIN sh b "
+            " count(*)::BIGINT AS common FROM rare a JOIN rare b "
             " ON a.shingle=b.shingle AND a.doc_id < b.doc_id "
             " GROUP BY a.doc_id, b.doc_id) "
             "SELECT d1, d2, CAST(ROUND((common / (s1.sz + s2.sz - common))"

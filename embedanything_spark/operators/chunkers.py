@@ -1,0 +1,127 @@
+"""Semantic chunkers — the reference's statistical and cumulative
+chunking re-expressed as pure Catalyst plans (SURVEY.md §2.2 P2/P3).
+
+Reference semantics being mirrored:
+
+- Statistical (``rust/src/chunkers/statistical.rs:43-383``, tested
+  ``:394-413``): split text into fixed ~token windows (``:141-145``),
+  embed each window (``:155-173``), cosine similarity of window i vs
+  the rolling mean of the previous ``window_size=5`` windows
+  (``:206-262``), derive a similarity threshold from the distribution
+  (``:264-332`` binary-searches one; here: the per-doc P25 —
+  A3's percentile machinery), split below threshold (``:333-341``),
+  and re-pack against a token budget (``:343-383``; here: chunks over
+  ``MAX_CHUNK_TOKENS`` are subdivided at window granularity — the
+  greedy re-pack is sequential by nature, ceil-division keeps the plan
+  relational and the budget respected).
+- Cumulative (``rust/src/chunkers/cumulative.rs:39-111``, tested
+  ``:150-168``): grow a chunk while the next piece stays similar to
+  what has accumulated; here window i is compared against the PREFIX
+  mean of all previous windows (running-mean embedding — A4's prefix
+  machinery) and splits below a fixed threshold.
+
+The "embedding" is the deterministic static-embed scalar family (E6,
+``model2vec.rs:17-34``): 4 dims per token from md5 hex slices, mean-
+pooled per window — both engines (Spark and the DuckDB oracle) derive
+identical vectors, which is what makes an exact SQL oracle possible.
+Float landmines: boolean split decisions compare raw doubles (sim <
+threshold) — within-engine consistent; cross-engine flips would need
+two sims within ~1 ulp, negligible for this data. All OUTPUT columns
+are integers (counts/ids), so the value hash is float-free.
+
+Scale notes: everything here is one narrow token pass + per-doc window
+functions partitioned by doc_id — no joins of the token stream, no
+driver actions; at 100 TB the only shuffle is the doc-keyed window
+exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from embedanything_spark.operators.docops import load
+
+WIN_TOKENS = 10       # tokens per similarity window (statistical.rs:141-145)
+ROLL_WINDOWS = 5      # rolling-mean width (statistical.rs window_size=5)
+MAX_CHUNK_TOKENS = 80  # token budget for the re-pack stage
+SPLIT_PCT = 0.25      # per-doc similarity percentile used as threshold
+CUM_THRESHOLD = 0.98  # fixed prefix-similarity split threshold (P3)
+DIMS = 4
+
+
+def _tok_dim(d: int) -> F.Column:
+    """Deterministic dim-d token value from an md5 hex slice (6 hex
+    chars each → 24 bits, scaled to [0,1) with 1e-6 granularity)."""
+    return (F.conv(F.substring(F.md5("term"), 1 + 6 * d, 6), 16, 10)
+            .cast("long") % F.lit(1_000_000)) / F.lit(1_000_000.0)
+
+
+def _window_embeddings(spark, sf_dir) -> DataFrame:
+    """(doc_id, win_id, n_tok, e0..e3): mean-pooled deterministic
+    window embeddings over WIN_TOKENS-token windows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.lower("text"), " "),
+                              lambda x: x != "")).alias("pos", "term"))
+    return (toks
+            .withColumn("win_id", (F.col("pos") / WIN_TOKENS)
+                        .cast("long"))
+            .groupBy("doc_id", "win_id")
+            .agg(F.count("*").alias("n_tok"),
+                 *[F.avg(_tok_dim(d)).alias(f"e{d}")
+                   for d in range(DIMS)]))
+
+
+def _sims(wins: DataFrame, frame_start) -> DataFrame:
+    """Cosine of each window vs the mean of a preceding frame
+    (frame_start..-1). NULL for the first window (empty frame)."""
+    w = (Window.partitionBy("doc_id").orderBy("win_id")
+         .rowsBetween(frame_start, -1))
+    cols = [F.avg(f"e{d}").over(w).alias(f"r{d}") for d in range(DIMS)]
+    out = wins.select("*", *cols)
+    dot = sum(F.col(f"e{d}") * F.col(f"r{d}") for d in range(DIMS))
+    ne = F.sqrt(sum(F.col(f"e{d}") * F.col(f"e{d}") for d in range(DIMS)))
+    nr = F.sqrt(sum(F.col(f"r{d}") * F.col(f"r{d}") for d in range(DIMS)))
+    return out.withColumn("sim", dot / (ne * nr))
+
+
+def _chunk_rollup(simdf: DataFrame, boundary: F.Column) -> DataFrame:
+    """boundary flags → chunk ids (running sum) → per-chunk rollup."""
+    wseq = (Window.partitionBy("doc_id").orderBy("win_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (simdf
+            .withColumn("chunk_id",
+                        F.sum(boundary.cast("long")).over(wseq))
+            .groupBy("doc_id", "chunk_id")
+            .agg(F.min("win_id").alias("start_win"),
+                 F.count("*").alias("n_windows"),
+                 F.sum("n_tok").alias("n_tokens"))
+            .withColumn("n_subchunks",
+                        F.ceil(F.col("n_tokens") /
+                               F.lit(float(MAX_CHUNK_TOKENS)))))
+
+
+def statistical_chunk(spark, sf_dir) -> DataFrame:
+    """P2: rolling-mean similarity split at the per-doc P25 threshold +
+    token-budget subdivision count. Output (doc_id, chunk_id,
+    start_win, n_windows, n_tokens, n_subchunks) — all integral."""
+    wins = _window_embeddings(spark, sf_dir)
+    simdf = _sims(wins, -ROLL_WINDOWS)
+    th = (simdf.filter(F.col("sim").isNotNull())
+          .groupBy("doc_id")
+          .agg(F.percentile("sim", F.lit(SPLIT_PCT)).alias("th")))
+    joined = simdf.join(th, "doc_id", "left")
+    boundary = F.col("sim").isNull() | (F.col("sim") < F.col("th"))
+    return _chunk_rollup(joined, boundary).orderBy("doc_id", "chunk_id")
+
+
+def cumulative_chunk(spark, sf_dir) -> DataFrame:
+    """P3: prefix-mean similarity split at a fixed threshold. Output
+    (doc_id, chunk_id, start_win, n_windows, n_tokens, n_subchunks)."""
+    wins = _window_embeddings(spark, sf_dir)
+    simdf = _sims(wins, Window.unboundedPreceding)
+    boundary = (F.col("sim").isNull() |
+                (F.col("sim") < F.lit(CUM_THRESHOLD)))
+    return _chunk_rollup(simdf, boundary).orderBy("doc_id", "chunk_id")

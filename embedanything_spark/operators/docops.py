@@ -74,10 +74,11 @@ def doc_stats(spark, sf_dir):
                     F.coalesce("doclen", F.lit(0)).alias("doclen")))
 
 
-def bm25_topk(spark, sf_dir):
-    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) top-20 for the fixed
-    query — the flagship operator, DataFrame-only plan (§3.3)."""
-    docs = load(spark, sf_dir, "documents")
+def _bm25_scores(spark, sf_dir):
+    """(doc_id, score_micro) for the fixed query — DataFrame-only
+    BM25 plan with ZERO driver actions: n_docs/avgdl ride along as a
+    broadcast 1-row frame instead of a collect (the corpus never gets
+    an extra scan per query)."""
     # tf filtered to query terms; df of those terms = a count window
     # over the SAME filtered rows (no second corpus pass)
     tf = (term_tf(spark, sf_dir)
@@ -85,19 +86,26 @@ def bm25_topk(spark, sf_dir):
           .withColumn("df", F.count("*").over(
               Window.partitionBy("term")).cast("double")))
     dl = doc_stats(spark, sf_dir)
-    n_docs = docs.count()
-    avgdl = float(dl.agg(F.avg("doclen")).collect()[0][0])
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) /
+    st = dl.agg(F.count("*").cast("double").alias("n"),
+                F.avg("doclen").alias("avgdl"))
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) /
                 (F.col("df") + 0.5))
     contrib = (tf.join(dl, "doc_id")
+               .crossJoin(F.broadcast(st))
                .select("doc_id",
                        (idf * (F.col("tf") * F.lit(K1 + 1.0)) /
                         (F.col("tf") + F.lit(K1) *
                          (F.lit(1.0 - B) +
-                          F.lit(B) * F.col("doclen") / F.lit(avgdl))))
+                          F.lit(B) * F.col("doclen") / F.col("avgdl"))))
                        .alias("c")))
     return (contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
-            .select("doc_id", micro(F.col("score")).alias("score_micro"))
+            .select("doc_id", micro(F.col("score")).alias("score_micro")))
+
+
+def bm25_topk(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) top-20 for the fixed
+    query — the index-less DataFrame slice (§3.3)."""
+    return (_bm25_scores(spark, sf_dir)
             .orderBy(F.desc("score_micro"), F.asc("doc_id"))
             .limit(20))
 
@@ -162,6 +170,75 @@ def rank_by_source(spark, sf_dir):
             .select("source", "doc_id", "n_chars",
                     F.row_number().over(w).cast("long").alias("rnk"))
             .filter(F.col("rnk") <= 3))
+
+
+def hybrid_rrf(spark, sf_dir):
+    """J3 — REAL hybrid fusion (hybridsearch.py:64-77): reciprocal-rank
+    fusion of the live SPARSE retriever (BM25 over documents; score-
+    identical to the IndexReader path — proven by bm25_topk_indexed's
+    shared oracle) and the live DENSE retriever (exact cosine vs the
+    fixed query vector, vec_id ≡ doc_id), top-50 each, RRF k=60.
+    Both rankings use micro-rounded scores so the rank boundary is
+    deterministic across engines."""
+    from embedanything_spark.operators.similarity import (
+        QUERY_VEC_ID, _cosine, _dbl, query_vec_df)
+    sparse = (_bm25_scores(spark, sf_dir)
+              .select("doc_id", F.row_number().over(
+                  Window.orderBy(F.desc("score_micro"), F.asc("doc_id")))
+                  .alias("r"))
+              .filter(F.col("r") <= 50))
+    emb = load(spark, sf_dir, "embeddings")
+    e = _dbl(F.col("embedding"))
+    dense = (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+             .crossJoin(F.broadcast(query_vec_df(spark, sf_dir)))
+             .select(F.col("vec_id").alias("doc_id"),
+                     micro(_cosine(e, F.col("qv"))).alias("cos_micro"))
+             .select("doc_id", F.row_number().over(
+                 Window.orderBy(F.desc("cos_micro"), F.asc("doc_id")))
+                 .alias("r"))
+             .filter(F.col("r") <= 50))
+    u = sparse.unionByName(dense)
+    return (u.groupBy("doc_id")
+            .agg(F.sum(F.lit(1.0) / (F.lit(60.0) + F.col("r")))
+                 .alias("rrf"))
+            .select("doc_id", micro(F.col("rrf")).alias("rrf_micro"))
+            .orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(15))
+
+
+def rerank_topk(spark, sf_dir):
+    """T1/J1 — cross-encoder rerank of the BM25 top-20 as a driver
+    entry (reranker/model.rs:139-276). The kernel is the repo's
+    deterministic stub cross-encoder (token-overlap logit + md5-jitter
+    → sigmoid, index/rerank.py) scored over Arrow batches; its exact
+    arithmetic is reproduced in the DuckDB oracle."""
+    import pandas as pd
+
+    from embedanything_spark.index.rerank import _cross_score_batch
+    from embedanything_spark.session import package_zip
+
+    spark.sparkContext.addPyFile(package_zip())
+    qtext = " ".join(DOC_QUERY_TERMS)
+    top = (bm25_topk(spark, sf_dir)
+           .join(load(spark, sf_dir, "documents")
+                 .select("doc_id", "text"), "doc_id"))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            pdf["rerank_score"] = _cross_score_batch(
+                pd.Series([qtext] * len(pdf)), pdf["text"])
+            yield pdf[["doc_id", "score_micro", "rerank_score"]]
+
+    scored = top.mapInPandas(
+        score, schema="doc_id long, score_micro long, rerank_score double")
+    w = Window.orderBy(F.desc("rerank_micro"), F.asc("doc_id"))
+    return (scored
+            .withColumn("rerank_micro", micro(F.col("rerank_score")))
+            .select("doc_id", "score_micro", "rerank_micro")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .orderBy("rank"))
 
 
 def rrf_fusion(spark, sf_dir):
@@ -290,21 +367,21 @@ def dedup_exact(spark, sf_dir):
 
 
 def _shingles(spark, sf_dir):
-    """3-gram token shingles per doc via positional self-joins (runs
-    identically in DuckDB)."""
-    toks = (load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.posexplode(F.filter(F.split(F.lower("text"), " "),
-                              lambda x: x != "")).alias("pos", "term")))
-    t1, t2, t3 = toks.alias("t1"), toks.alias("t2"), toks.alias("t3")
-    return (t1
-            .join(t2, (F.col("t1.doc_id") == F.col("t2.doc_id")) &
-                       (F.col("t2.pos") == F.col("t1.pos") + 1))
-            .join(t3, (F.col("t1.doc_id") == F.col("t3.doc_id")) &
-                       (F.col("t3.pos") == F.col("t1.pos") + 2))
-            .select(F.col("t1.doc_id").alias("doc_id"),
-                    F.concat_ws("_", "t1.term", "t2.term", "t3.term")
-                    .alias("shingle"))
+    """3-gram token shingles per doc, computed NARROWLY from the token
+    array (transform over a position sequence — zero joins, zero
+    shuffles of the token stream; same row set as the DuckDB oracle's
+    positional self-join). At 100 TB this is a per-row map; the old
+    posexplode + double self-join tripled and double-shuffled the
+    whole token stream."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    return (docs
+            .select("doc_id", toks.alias("t"))
+            .select("doc_id", F.explode(F.when(
+                F.size("t") >= 3,
+                F.expr("transform(sequence(0, size(t)-3), "
+                       "i -> concat_ws('_', t[i], t[i+1], t[i+2]))"))
+                .otherwise(F.array())).alias("shingle"))
             .distinct())
 
 
@@ -334,26 +411,49 @@ def dedup_minhash(spark, sf_dir):
 
 
 def dedup_simhash(spark, sf_dir):
-    """16-bit SimHash per doc from md5 bits of tokens (tf-weighted)."""
-    tf = term_tf(spark, sf_dir).withColumn(
-        "h", F.conv(F.substring(F.md5("term"), 1, 4), 16, 10)
-        .cast("long"))
-    bits = tf.select("doc_id", "tf", "h",
-                     F.explode(F.sequence(F.lit(0), F.lit(15)))
+    """64-bit SimHash per doc from md5 bits of tokens (tf-weighted),
+    emitted as two 32-bit halves (hi/lo) so neither engine's signed
+    BIGINT overflows. 16 bits collide massively at 10^12 docs; 64 is
+    the standard width (Charikar/Google near-dup)."""
+    tf = (term_tf(spark, sf_dir)
+          .withColumn("h_lo", F.conv(F.substring(F.md5("term"), 1, 8),
+                                     16, 10).cast("long"))
+          .withColumn("h_hi", F.conv(F.substring(F.md5("term"), 9, 8),
+                                     16, 10).cast("long")))
+    bits = tf.select("doc_id", "tf", "h_lo", "h_hi",
+                     F.explode(F.sequence(F.lit(0), F.lit(63)))
                      .alias("b"))
     votes = bits.groupBy("doc_id", "b").agg(
-        F.sum(F.expr("((shiftright(h, b) & 1) * 2 - 1) * tf")).alias("v"))
+        F.sum(F.expr("((shiftright(CASE WHEN b < 32 THEN h_lo ELSE h_hi "
+                     "END, b % 32) & 1) * 2 - 1) * tf")).alias("v"))
     sim = votes.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1, b) ELSE 0 END"))
-        .alias("simhash"))
-    return sim.select("doc_id", F.col("simhash").cast("long")
-                      .alias("simhash"))
+        F.sum(F.expr("CASE WHEN v > 0 AND b >= 32 THEN "
+                     "shiftleft(CAST(1 AS BIGINT), CAST(b - 32 AS INT)) "
+                     "ELSE CAST(0 AS BIGINT) END")).alias("simhash_hi"),
+        F.sum(F.expr("CASE WHEN v > 0 AND b < 32 THEN "
+                     "shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
+                     "ELSE CAST(0 AS BIGINT) END")).alias("simhash_lo"))
+    return sim.select("doc_id", F.col("simhash_hi").cast("long")
+                      .alias("simhash_hi"),
+                      F.col("simhash_lo").cast("long").alias("simhash_lo"))
+
+
+JACCARD_DF_CAP = 64  # Zipf-head shingles are dropped before the pair join
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup: top candidate pairs by shingle-set
-    Jaccard (pairs must share ≥1 shingle — no O(n²))."""
-    sh = _shingles(spark, sf_dir)
+    """n-gram Jaccard near-dup over the RARE-shingle universe: shingles
+    with df > JACCARD_DF_CAP are dropped symmetrically (from both the
+    common counts and the set sizes) before the equi-join — standard
+    LSH practice; an uncapped join on raw shingle equality goes
+    quadratic on Zipf-head shingles at corpus scale. Pairs must still
+    share ≥1 (rare) shingle, so no O(n²)."""
+    # the HOT set (df > cap) is small by construction → broadcast anti-join
+    hot = (_shingles(spark, sf_dir).groupBy("shingle")
+           .agg(F.count("*").alias("sdf"))
+           .filter(F.col("sdf") > JACCARD_DF_CAP).select("shingle"))
+    sh = _shingles(spark, sf_dir).join(
+        F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from embedanything_spark.operators.docops import hash12, load, micro
-from embedanything_spark.operators.similarity import _cosine, _query_vec
+from embedanything_spark.operators.similarity import _cosine, query_vec_df
 
 
 def pool_mean(spark, sf_dir):
@@ -61,10 +61,10 @@ def static_embed(spark, sf_dir):
 def maxsim(spark, sf_dir):
     """Single-query-token MaxSim: per label (multi-vector doc), the max
     cosine of any member vector vs the query vector."""
-    q = F.array(*[F.lit(x) for x in _query_vec(spark, sf_dir)])
     emb = load(spark, sf_dir, "embeddings")
     e = F.transform("embedding", lambda x: x.cast("double"))
-    return (emb.select("label", _cosine(e, q).alias("cos"))
+    return (emb.crossJoin(F.broadcast(query_vec_df(spark, sf_dir)))
+            .select("label", _cosine(e, F.col("qv")).alias("cos"))
             .groupBy("label")
             .agg(micro(F.max("cos")).alias("maxsim_micro")))
 

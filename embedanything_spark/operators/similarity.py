@@ -3,16 +3,18 @@ array<float>, label).
 
 The reference delegates ANN to vector DBs (lance_retrieval.py:104-166);
 here both the brute-force baseline and the IVF scale path are native
-Spark plans:
+Spark plans with NO driver-side collect in the query path:
 
 - ``knn_cosine``: exact cosine top-k against a query vector — the
-  query vector is broadcast as a literal array; the dot product runs
-  JVM-side via ``aggregate(zip_with(...))`` (no Python in the loop);
-  TakeOrderedAndProject does the distributed top-k.
-- ``ann_ivf``: IVF-style — centroid per ``label`` (posexplode +
-  groupBy(label, dim) avg), probe the nearest centroid, search only
-  that cluster (at scale: partition/bucket the table by cluster id so
-  probing prunes partitions).
+  1-row query-vector frame is broadcast-cross-joined; the dot product
+  runs JVM-side via ``aggregate(zip_with(...))`` (no Python in the
+  loop); TakeOrderedAndProject does the distributed top-k.
+- ``ann_ivf``: IVF — centroids are a MATERIALIZED build-side table
+  (``build_centroids``, one pass over the data, reusable across
+  queries; at scale it is written once and the vectors bucketed by
+  cluster id so probing prunes partitions). The probe is a broadcast
+  join of the winning cluster id — no collect, no per-query centroid
+  recompute.
 
 Scores exported as micro-BIGINTs for cross-engine hash stability.
 """
@@ -34,47 +36,61 @@ def _cosine(a, b) -> F.Column:
     return dot / (na * nb)
 
 
-def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = (load(spark, sf_dir, "embeddings")
-           .filter(F.col("vec_id") == QUERY_VEC_ID)
-           .select("embedding").collect()[0])
-    return [float(x) for x in row["embedding"]]
+def _dbl(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def query_vec_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (qv: array<double>) frame for broadcast into query plans."""
+    return (load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select(_dbl(F.col("embedding")).alias("qv")))
 
 
 def knn_cosine(spark, sf_dir) -> DataFrame:
     """Exact cosine top-10 vs the fixed query vector (excluding it)."""
-    q = F.array(*[F.lit(x) for x in _query_vec(spark, sf_dir)])
     emb = load(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = _dbl(F.col("embedding"))
     return (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-            .select("vec_id", micro(_cosine(e, q)).alias("cos_micro"))
+            .crossJoin(F.broadcast(query_vec_df(spark, sf_dir)))
+            .select("vec_id",
+                    micro(_cosine(e, F.col("qv"))).alias("cos_micro"))
             .orderBy(F.desc("cos_micro"), F.asc("vec_id"))
             .limit(10))
 
 
-def ann_ivf(spark, sf_dir) -> DataFrame:
-    """IVF probe: label-centroids → nearest centroid → in-cluster
-    exact top-10. Returns the same schema as knn_cosine."""
-    emb = load(spark, sf_dir, "embeddings")
+def build_centroids(emb: DataFrame) -> DataFrame:
+    """IVF build side: one centroid per label (posexplode + two-level
+    agg). At 100 TB: write this once as a small table and bucket the
+    vector table by label so a probe scans only its cluster's files."""
     dims = emb.select(
         "vec_id", "label",
-        F.posexplode(F.transform("embedding",
-                                 lambda x: x.cast("double")))
-        .alias("dim", "v"))
-    cents = (dims.groupBy("label", "dim").agg(F.avg("v").alias("c"))
-             .groupBy("label")
-             .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
-                  .alias("s"))
-             .select("label", F.transform("s", lambda x: x["c"])
-                     .alias("centroid")))
-    q = F.array(*[F.lit(x) for x in _query_vec(spark, sf_dir)])
-    best = (cents.select("label", _cosine(F.col("centroid"), q)
-                         .alias("cc"))
+        F.posexplode(_dbl(F.col("embedding"))).alias("dim", "v"))
+    return (dims.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
+                 .alias("s"))
+            .select("label", F.transform("s", lambda x: x["c"])
+                    .alias("centroid")))
+
+
+def ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF probe: nearest centroid by broadcast cross-join → broadcast
+    the winning cluster id → in-cluster exact top-10. Same schema as
+    knn_cosine; zero driver collects in the plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = query_vec_df(spark, sf_dir)
+    best = (build_centroids(emb)
+            .crossJoin(F.broadcast(qdf))
+            .select("label",
+                    _cosine(F.col("centroid"), F.col("qv")).alias("cc"))
             .orderBy(F.desc("cc"), F.asc("label")).limit(1)
-            .collect()[0]["label"])
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return (emb.filter((F.col("label") == int(best)) &
-                       (F.col("vec_id") != QUERY_VEC_ID))
-            .select("vec_id", micro(_cosine(e, q)).alias("cos_micro"))
+            .select("label"))
+    e = _dbl(F.col("embedding"))
+    return (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .join(F.broadcast(best), "label")
+            .crossJoin(F.broadcast(qdf))
+            .select("vec_id",
+                    micro(_cosine(e, F.col("qv"))).alias("cos_micro"))
             .orderBy(F.desc("cos_micro"), F.asc("vec_id"))
             .limit(10))

@@ -119,3 +119,25 @@ def test_compression_effective(spark, index_dir, oracle):
     payload = int(blocks["doc_bytes"].map(len).sum() +
                   blocks["tf_bytes"].map(len).sum())
     assert payload < n_postings * 8  # vs 16 bytes/posting uncompressed
+
+
+def test_checkpoint_small_corpus(spark, tmp_path):
+    """9 convs / 4 batches: ceil-division step yields only 2 bounds —
+    must clamp to 3 effective batches, not IndexError (and resume to
+    the same results as a single-shot build)."""
+    from embedanything_spark.datagen import gen_transcripts_df
+
+    t = gen_transcripts_df(spark, 9)
+    root = str(tmp_path / "small")
+    b = CheckpointedIndexBuilder(
+        IndexWriter(root, block_range=256, num_partitions=2), n_batches=4)
+    lineage = b.run(t)
+    assert 0 < len(lineage) <= 4
+    assert sum(ln["n_docs"] for ln in lineage) == t.count()
+    single = str(tmp_path / "single")
+    IndexWriter(single, block_range=256, num_partitions=2).build(t)
+    q = pd.DataFrame({"query_id": [0], "query_text": ["term00000"],
+                      "k": [5]})
+    a = IndexReader(spark, root).search(q).toPandas()
+    c = IndexReader(spark, single).search(q).toPandas()
+    pd.testing.assert_frame_equal(a, c)
