@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": docops.chunk_text,
         "statistical_chunk": chunkers.statistical_chunk,
         "cumulative_chunk": chunkers.cumulative_chunk,
+        "late_chunk": chunkers.late_chunk,
         "distinct_terms": docops.distinct_terms,
         "rolling_window_avg": events.rolling_window_avg,
         # dedup (training-data pipeline)
@@ -432,6 +433,25 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_chunk": _chunker_sql(
             "sim IS NULL OR sim < 0.98", "",
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"),
+
+        # E3 late chunking: contextual (±2-doc window) static-embed
+        # scalar, mean-pooled per fixed 4-doc chunk within source
+        "late_chunk":
+            f"WITH toks AS ({_TOKS}), "
+            "e AS (SELECT doc_id, avg((CAST(('0x' || "
+            " substring(md5(term),1,12)) AS BIGINT) % 1000000)/1000000.0)"
+            " AS e FROM toks WHERE term <> '' GROUP BY doc_id), "
+            "d AS (SELECT d.source, d.doc_id, coalesce(e.e, 0.0) AS e "
+            " FROM documents d LEFT JOIN e USING(doc_id)), "
+            "c AS (SELECT source, doc_id, avg(e) OVER (PARTITION BY "
+            " source ORDER BY doc_id ROWS BETWEEN 2 PRECEDING AND "
+            " 2 FOLLOWING) AS c FROM d), "
+            "s AS (SELECT source, c, CAST(floor((row_number() OVER "
+            " (PARTITION BY source ORDER BY doc_id) - 1) / 4.0) AS "
+            " BIGINT) AS chunk_id FROM c) "
+            "SELECT source, chunk_id, count(*)::BIGINT AS n_docs, "
+            "CAST(ROUND(avg(c)*1e6) AS BIGINT) AS late_micro "
+            "FROM s GROUP BY source, chunk_id",
 
         "distinct_terms":
             f"WITH toks AS ({_TOKS}) "

@@ -1,16 +1,24 @@
 """Distributed inverted-index build (SURVEY.md §7.5-6).
 
-Pipeline — exactly ONE full-data shuffle end-to-end, regardless of
-scale:
+Pipeline — exactly ONE full-data shuffle end-to-end and exactly ONE
+pass of the raw text through Python/Arrow, regardless of scale:
 
   transcripts
-    → [shuffle] repartitionByRange(conv_id, turn_idx) + sort
-    → mapInPandas pass 1: dense doc_id assignment + tokenize + per-doc
-      term counting (text crosses Python/Arrow exactly once)
-    → mapInPandas pass 2 (NARROW): partition-local posting explode,
-      (term, doc-range) sort and delta+varint block encode — each
-      partition owns a contiguous doc range, so its blocks are globally
-      disjoint segments (the Lucene/ES doc-sharded model)
+    → narrow pre-pass: per-conv turn counts (column-pruned scan of
+      conv_id only + a tiny conv-keyed shuffle) → EXACT per-bucket
+      start offsets and boundary conv_ids via a distributed prefix
+      sum — deterministic, no range-partitioner sampling (which would
+      re-scan the full corpus), no full-corpus persist
+    → bucket id per row = broadcast searchsorted over boundary
+      conv_ids (vectorized Arrow UDF over the conv_id column alone —
+      text stays JVM-side)
+    → [shuffle] repartition(bucket) + sort (bucket, conv_id, turn_idx)
+    → fused mapInPandas pass: dense doc_id assignment from broadcast
+      bucket offsets + tokenize + per-doc term counting + partition-
+      local posting sort + delta+varint block encode, written in ONE
+      job as a kind-partitioned table. Each bucket owns a contiguous
+      doc range, so its blocks are globally disjoint segments (the
+      Lucene/ES doc-sharded model).
     → dictionary = salted repartitionByRange(term) merge over block
       METADATA only (bytes columns pruned by parquet) — the "segment
       merge into a global term dictionary" of the north rule; the only
@@ -18,11 +26,17 @@ scale:
       postings.
 
 Skew: hot Zipf head terms never concentrate anywhere — their postings
-stay spread across all doc-range partitions by construction, and the
+stay spread across all doc-range buckets by construction, and the
 dictionary merge shuffles one metadata row per (term, block).
 Doc-range-aligned blocks also make block-max pruning exact at query
 time: sum of per-term block upper bounds is a valid bound for every
 doc in the range.
+
+Doc-id determinism at any parallelism: doc_id = bucket_start + rank
+within the bucket's (conv_id, turn_idx) order; bucket boundaries sit
+at conv granularity and starts are exact prefix sums, so the
+concatenation of buckets IS the global (conv_id, turn_idx) dense rank
+no matter how many buckets/cores there are.
 
 Blocks store (max_tf, min_dl) rather than a precomputed impact so
 upper bounds remain valid if avgdl drifts under incremental appends:
@@ -46,6 +60,7 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from embedanything_spark import B, K1
 from embedanything_spark.analyzer import ANALYZER_VERSION
@@ -54,6 +69,19 @@ from embedanything_spark.operators.doc_ids import zip_with_index
 
 DEFAULT_BLOCK_RANGE = 65536
 DOCS_PER_PARTITION = 10_000  # caps per-worker memory in the fused pass
+
+
+def _searchsorted_udf(bounds_bc):
+    """Vectorized bucket lookup: bucket k owns convs in
+    [bounds[k], bounds[k+1]). Arrow-batched; only the conv_id column
+    crosses into Python."""
+    @F.pandas_udf("int")
+    def bucket_of(conv: pd.Series) -> pd.Series:
+        b = np.searchsorted(np.asarray(bounds_bc.value, dtype=object),
+                            conv.to_numpy(dtype=object),
+                            side="right") - 1
+        return pd.Series(b.astype(np.int32))
+    return bucket_of
 
 _DOC_COLS = ["doc_id", "conv_id", "turn_idx", "role", "ts", "doclen"]
 _BLOCK_COLS = ["term", "range_id", "n", "min_doc", "max_doc", "max_tf",
@@ -115,25 +143,24 @@ def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def _build_partition_factory(offsets: dict, block_range: int):
+def _build_partition_factory(bucket_starts: list[int], block_range: int):
     """The whole per-partition build in ONE Python/Arrow pass: dense
-    doc_id assignment (broadcast offsets + running index), frozen-
-    analyzer tokenization, per-doc tf counting, then — once the
-    partition is exhausted — partition-local posting sort and
-    delta+varint block encode. Yields a union stream: kind='doc' rows
-    (docmap + doclen) interleaved with batches, kind='block' rows at
-    the end.
+    doc_id assignment (broadcast per-bucket start offsets + running
+    per-bucket counters), frozen-analyzer tokenization, per-doc tf
+    counting, then — once the partition is exhausted — partition-local
+    posting sort and delta+varint block encode. Yields a union stream:
+    kind='doc' rows (docmap + doclen) interleaved with batches,
+    kind='block' rows at the end.
 
     Raw text enters Python exactly once and the exploded postings
     NEVER cross the Arrow boundary (they live and die as numpy arrays
-    inside the partition). This works because the parent is range-
-    partitioned in doc_id order: each partition owns a contiguous doc
-    range, so its (term, range_id) blocks are globally disjoint
-    segments (the Lucene/ES doc-sharded model) and no postings shuffle
-    exists at all. The term-keyed shuffle happens only in the
-    dictionary merge over block metadata.
+    inside the partition). Each bucket owns a contiguous doc range, so
+    its (term, range_id) blocks are globally disjoint segments (the
+    Lucene/ES doc-sharded model) and no postings shuffle exists at
+    all. The term-keyed shuffle happens only in the dictionary merge
+    over block metadata.
 
-    A range_id straddling a partition boundary yields two block rows
+    A range_id straddling a bucket boundary yields two block rows
     with the same (term, range_id) — the query engine sums their upper
     bounds (still a valid bound) and decodes both (still exact)."""
     from collections import Counter
@@ -141,15 +168,23 @@ def _build_partition_factory(offsets: dict, block_range: int):
     from embedanything_spark.analyzer import tokenize
 
     def fn(batches):
-        local = 0
+        seen: dict[int, int] = {}  # bucket -> rows consumed so far
         doc_l, dl_l, term_l, tf_l = [], [], [], []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            start = offsets[int(pdf["_pid"].iloc[0])] + local
-            local += len(pdf)
             n = len(pdf)
-            doc_ids = np.arange(start, start + n, dtype=np.int64)
+            # rows arrive sorted by (_bucket, conv_id, turn_idx):
+            # assign per contiguous bucket run
+            bks = pdf["_bucket"].to_numpy(np.int64)
+            doc_ids = np.empty(n, dtype=np.int64)
+            runs = np.r_[0, np.nonzero(bks[1:] != bks[:-1])[0] + 1, n]
+            for ri in range(len(runs) - 1):
+                a, b = int(runs[ri]), int(runs[ri + 1])
+                bk = int(bks[a])
+                c = seen.get(bk, 0)
+                doc_ids[a:b] = bucket_starts[bk] + c + np.arange(b - a)
+                seen[bk] = c + (b - a)
             terms_b, tfs_b, dl_b = [], [], []
             for text in pdf["text"]:
                 toks = tokenize(text)
@@ -197,9 +232,6 @@ def _build_partition_factory(offsets: dict, block_range: int):
     return fn
 
 
-TABLES = ("docmap", "postings")
-
-
 def committed_lineage(root: str | Path) -> list[dict]:
     """Committed batches, in commit order (the snapshot manifest)."""
     f = Path(root) / "_meta/lineage.jsonl"
@@ -208,11 +240,17 @@ def committed_lineage(root: str | Path) -> list[dict]:
     return [json.loads(line) for line in f.read_text().splitlines() if line]
 
 
+_TABLE_KIND = {"docmap": "doc", "postings": "block"}
+
+
 def table_paths(root: str | Path, table: str) -> list[str]:
     """Parquet dirs of COMMITTED batches only — a reader never sees a
     half-written batch (snapshot-read semantics; with an Iceberg catalog
-    this is the table's current snapshot)."""
-    return [str(Path(root) / table / f"batch-{ln['batch_id']}")
+    this is the table's current snapshot). Both logical tables live in
+    one kind-partitioned batch dir (written in a single job)."""
+    kind = _TABLE_KIND[table]
+    return [str(Path(root) / "data" / f"batch-{ln['batch_id']}"
+                / f"kind={kind}")
             for ln in committed_lineage(root)]
 
 
@@ -220,16 +258,18 @@ class IndexWriter:
     """Builds the index tables + meta/lineage manifests under a root dir.
 
     Layout (all parquet unless noted):
-      root/docmap/batch-*/     doc_id, conv_id, turn_idx, role, ts
-      root/doc_stats/batch-*/  doc_id, doclen
-      root/postings/batch-*/   block rows (term-clustered files →
-                               parquet row-group pruning on term)
+      root/data/batch-*/kind=doc/    docmap: doc_id, conv_id, turn_idx,
+                                     role, ts, doclen (doc_stats is a
+                                     column-pruned read of this table)
+      root/data/batch-*/kind=block/  posting blocks (term-clustered
+                                     files → parquet row-group pruning
+                                     on term)
       root/dictionary/         term, df, cf   (global, rebuilt at finalize)
       root/_meta/meta.json, lineage.jsonl, plan.json
 
     Commit protocol (Iceberg-snapshot-shaped, SURVEY.md §4 item 6):
-    a batch's tables are written to fresh batch-<id> dirs first; the
-    lineage line is appended ONLY after all three writes succeed — that
+    a batch's kind-partitioned dir is written first (one job); the
+    lineage line is appended ONLY after the write succeeds — that
     append is the atomic commit point. Readers resolve paths through
     the lineage manifest, so a crash mid-batch leaves only invisible
     orphan dirs, which resume() deletes before re-running the batch.
@@ -241,18 +281,77 @@ class IndexWriter:
         self.block_range = block_range
         self.num_partitions = num_partitions
 
-    def _parts(self, spark: SparkSession,
-               transcripts: DataFrame | None = None) -> int:
-        """Partition count scales with DATA (≤ ~DOCS_PER_PARTITION docs
-        each — the fused pass accumulates a partition's postings in
-        worker memory), floored at the core count for parallelism."""
-        if self.num_partitions:
-            return self.num_partitions
-        base = spark.sparkContext.defaultParallelism
-        if transcripts is not None:
-            n = transcripts.count()
-            return max(base, -(-n // DOCS_PER_PARTITION))
-        return base
+    def _parts(self, spark: SparkSession) -> int:
+        return self.num_partitions or spark.sparkContext.defaultParallelism
+
+    def _bucket_plan(
+            self, transcripts: DataFrame, doc_id_offset: int
+    ) -> tuple[list[str], list[int], int]:
+        """Narrow pre-pass: per-conv turn counts (column-pruned scan of
+        conv_id + a tiny hash shuffle — NO range-partitioner sampling,
+        NO window job) → bucket boundary conv_ids + EXACT per-bucket
+        start offsets, in two tiny actions:
+
+        1. per-partition granule summaries (each partition sorts its
+           convs and emits one (first_conv, turns) row per ~granule):
+           merged on the driver these give APPROXIMATE cumulative turn
+           positions — good enough to PICK boundary convs, since
+           boundary placement only affects load balance, never
+           correctness;
+        2. exact offsets for the chosen boundaries: bucket each conv
+           (broadcast searchsorted) and sum turns per bucket — the
+           prefix sums of those sums are exact bucket start doc_ids.
+
+        Bucket count scales with DATA (~DOCS_PER_PARTITION turns each —
+        the fused pass accumulates a bucket's postings in worker
+        memory), floored at the core count for parallelism. Driver
+        memory is O(granules + buckets), never O(convs)."""
+        spark = transcripts.sparkSession
+        base = self._parts(spark)
+        convs = (transcripts.groupBy("conv_id")
+                 .agg(F.count("*").alias("n_turns"))
+                 .persist())  # tiny: one row per conv
+
+        def summarize(batches):
+            chunks = [b for b in batches if len(b)]
+            if not chunks:
+                return
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   .sort_values("conv_id"))
+            n = len(pdf)
+            step = max(1, n // 4096)
+            starts_ix = np.arange(0, n, step)
+            csum = np.r_[0, np.cumsum(pdf["n_turns"].to_numpy(np.int64))]
+            yield pd.DataFrame({
+                "first_conv": pdf["conv_id"].to_numpy()[starts_ix],
+                "turns": csum[np.minimum(starts_ix + step, n)]
+                - csum[starts_ix]})
+
+        summ = (convs.mapInPandas(
+            summarize, schema="first_conv string, turns long")
+            .toPandas().sort_values("first_conv"))
+        total = int(summ["turns"].sum())
+        n_buckets = max(base, -(-total // DOCS_PER_PARTITION))
+        bsize = max(1, -(-total // n_buckets))
+        cum = np.r_[0, np.cumsum(summ["turns"].to_numpy(np.int64))[:-1]]
+        bounds: list[str] = []
+        kprev = -1
+        for conv, c in zip(summ["first_conv"], cum):
+            k = int(c // bsize)
+            if k > kprev:
+                bounds.append(str(conv))
+                kprev = k
+        bl = spark.sparkContext.broadcast(bounds)
+        sums = (convs.groupBy(_searchsorted_udf(bl)(F.col("conv_id"))
+                              .alias("bkt"))
+                .agg(F.sum("n_turns").alias("t"))
+                .orderBy("bkt").collect())
+        convs.unpersist()
+        starts, acc = [], doc_id_offset
+        for r in sums:  # every bound IS a conv → every bucket non-empty
+            starts.append(acc)
+            acc += int(r["t"])
+        return bounds, starts, acc - doc_id_offset
 
     def clean(self):
         import shutil
@@ -264,50 +363,38 @@ class IndexWriter:
         """Build the index (or one committed batch of it)."""
         spark = transcripts.sparkSession
         t0 = time.time()
-        parts = self._parts(spark, transcripts)
+        bounds, starts, n_batch_docs = self._bucket_plan(
+            transcripts, doc_id_offset)
+        parts = len(bounds)
+        bbc = spark.sparkContext.broadcast(bounds)
 
-        from pyspark import StorageLevel
-
-        # shuffle 1: global (conv_id, turn_idx) order for dense doc_ids;
-        # persist pins both the count pass and the assign pass to the
-        # same range partitioning
+        # THE one corpus shuffle: hash exchange on the bucket id (no
+        # range-partitioner sampling pass, no corpus persist); the
+        # Arrow UDF sees only the conv_id column — text stays JVM-side
+        # until the fused pass
         parent = (transcripts
                   .select("conv_id", "turn_idx", "role", "ts", "text")
-                  .repartitionByRange(parts, "conv_id", "turn_idx")
-                  .sortWithinPartitions("conv_id", "turn_idx")
-                  .withColumn("_pid", F.spark_partition_id())
-                  .persist(StorageLevel.MEMORY_AND_DISK))
-        counts = dict(parent.groupBy("_pid").count().collect())
-        offsets, acc = {}, doc_id_offset
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
+                  .withColumn("_bucket",
+                              _searchsorted_udf(bbc)(F.col("conv_id")))
+                  .repartition(parts, "_bucket")
+                  .sortWithinPartitions("_bucket", "conv_id", "turn_idx"))
 
         # ONE Python pass over raw text → union stream of docmap rows
-        # and encoded posting-block rows (postings never cross Arrow)
+        # and encoded posting-block rows (postings never cross Arrow),
+        # written in ONE job into a kind-partitioned batch dir: no
+        # intermediate persist of the stream, no second pass. docmap
+        # carries doclen too (doc_stats is a column-pruned read of the
+        # same table); each kind's unused columns are all-null and
+        # vanish under parquet RLE.
         union = parent.mapInPandas(
-            _build_partition_factory(offsets, self.block_range),
-            schema=_UNION_SCHEMA).persist(StorageLevel.MEMORY_AND_DISK)
-
+            _build_partition_factory(starts, self.block_range),
+            schema=_UNION_SCHEMA)
         sub = f"batch-{batch_id}"
-        # docmap carries doclen too (doc_stats is a column-pruned read
-        # of the same table — one write job instead of two)
-        (union.filter(F.col("kind") == "doc")
-              .select("doc_id", "conv_id", "turn_idx", "role", "ts",
-                      "doclen")
-              .write.mode("overwrite")
-              .parquet(str(self.root / "docmap" / sub)))
-        parent.unpersist()  # union is materialized now
+        (union.write.mode("overwrite").partitionBy("kind")
+              .parquet(str(self.root / "data" / sub)))
 
-        (union.filter(F.col("kind") == "block")
-              .select(*_BLOCK_COLS)
-              .write.mode("overwrite")
-              .parquet(str(self.root / "postings" / sub)))
-        union.unpersist()
-
-        # row count from the written parquet footers (metadata-only)
-        n_batch_docs = spark.read.parquet(
-            str(self.root / "docmap" / sub)).count()
+        # n_docs is already exact from the plan's per-bucket sums —
+        # no footer-count job needed
         elapsed = time.time() - t0
         lineage = {
             "batch_id": batch_id,
@@ -344,18 +431,22 @@ class IndexWriter:
                  .write.mode("overwrite")
                  .parquet(str(self.root / "dictionary")))
 
-        stats = spark.read.parquet(
-            *table_paths(self.root, "docmap")).agg(
-            F.count("*").alias("n"), F.avg("doclen").alias("avgdl"),
-            F.sum("doclen").alias("total_tokens")).collect()[0]
+        # corpus stats without another docmap scan: n_docs from the
+        # lineage manifest (footer-exact per committed batch),
+        # total_tokens = Σcf over the (tiny) dictionary just written —
+        # Σ tf over all (term, doc) pairs IS Σ doclen
+        n_docs = sum(ln["n_docs"] for ln in committed_lineage(self.root))
+        tok = spark.read.parquet(str(self.root / "dictionary")).agg(
+            F.sum("cf").alias("t")).collect()[0]["t"]
+        total_tokens = int(tok or 0)
         meta = {
             "format_version": 1,
             "analyzer_version": ANALYZER_VERSION,
             "k1": K1, "b": B,
             "block_range": self.block_range,
-            "n_docs": int(stats["n"]),
-            "avgdl": float(stats["avgdl"] or 0.0),
-            "total_tokens": int(stats["total_tokens"] or 0),
+            "n_docs": int(n_docs),
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "total_tokens": total_tokens,
             "snapshot_id": uuid.uuid4().hex,
         }
         (self.root / "_meta/meta.json").write_text(
@@ -400,14 +491,13 @@ class CheckpointedIndexBuilder:
     def _cleanup_orphans(self):
         committed = {ln["batch_id"] for ln in committed_lineage(self.w.root)}
         import shutil
-        for table in TABLES:
-            tdir = self.w.root / table
-            if not tdir.exists():
-                continue
-            for d in tdir.iterdir():
-                if d.name.startswith("batch-") and \
-                        d.name[len("batch-"):] not in committed:
-                    shutil.rmtree(d)
+        tdir = self.w.root / "data"
+        if not tdir.exists():
+            return
+        for d in tdir.iterdir():
+            if d.name.startswith("batch-") and \
+                    d.name[len("batch-"):] not in committed:
+                shutil.rmtree(d)
 
     def run(self, transcripts: DataFrame,
             stop_after: int | None = None) -> list[dict]:

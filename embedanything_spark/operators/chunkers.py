@@ -117,6 +117,39 @@ def statistical_chunk(spark, sf_dir) -> DataFrame:
     return _chunk_rollup(joined, boundary).orderBy("doc_id", "chunk_id")
 
 
+LATE_CTX = 2          # context radius in docs (E3 cross-boundary window)
+LATE_CHUNK_DOCS = 4   # docs pooled per late chunk
+
+
+def late_chunk(spark, sf_dir) -> DataFrame:
+    """E3 late chunking (bert.rs:147-238): embed with FULL-sequence
+    context first, slice per chunk after. Relational restatement over
+    the documents table (source = the sequence, doc_id = order): each
+    doc's contextual embedding is the mean of its neighbors' static-
+    embed scalars over a ±LATE_CTX window (context crosses chunk
+    boundaries — the point of late chunking), then fixed runs of
+    LATE_CHUNK_DOCS docs are mean-pooled per chunk. Output
+    (source, chunk_id, n_docs, late_micro)."""
+    from embedanything_spark.operators.docops import (_tokens, hash12,
+                                                      load, micro)
+    docs = load(spark, sf_dir, "documents")
+    val = (hash12(F.col("term")) % F.lit(10**6)) / F.lit(10**6)
+    e = (_tokens(docs).groupBy("doc_id").agg(F.avg(val).alias("e")))
+    d = (docs.select("source", "doc_id").join(e, "doc_id", "left")
+         .select("source", "doc_id",
+                 F.coalesce("e", F.lit(0.0)).alias("e")))
+    wc = (Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(-LATE_CTX, LATE_CTX))
+    wr = Window.partitionBy("source").orderBy("doc_id")
+    return (d.withColumn("c", F.avg("e").over(wc))
+            .withColumn("chunk_id",
+                        F.floor((F.row_number().over(wr) - 1) /
+                                F.lit(LATE_CHUNK_DOCS)))
+            .groupBy("source", "chunk_id")
+            .agg(F.count("*").alias("n_docs"),
+                 micro(F.avg("c")).alias("late_micro")))
+
+
 def cumulative_chunk(spark, sf_dir) -> DataFrame:
     """P3: prefix-mean similarity split at a fixed threshold. Output
     (doc_id, chunk_id, start_win, n_windows, n_tokens, n_subchunks)."""

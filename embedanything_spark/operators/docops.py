@@ -366,40 +366,50 @@ def dedup_exact(spark, sf_dir):
             .select("keeper", "n_dups"))
 
 
-def _shingles(spark, sf_dir):
+def _shingles(spark, sf_dir, distinct: bool = True):
     """3-gram token shingles per doc, computed NARROWLY from the token
     array (transform over a position sequence — zero joins, zero
     shuffles of the token stream; same row set as the DuckDB oracle's
     positional self-join). At 100 TB this is a per-row map; the old
     posexplode + double self-join tripled and double-shuffled the
-    whole token stream."""
+    whole token stream. ``distinct=False`` skips the dedup shuffle for
+    consumers whose aggregate is multiset-invariant (e.g. MinHash)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-    return (docs
-            .select("doc_id", toks.alias("t"))
-            .select("doc_id", F.explode(F.when(
-                F.size("t") >= 3,
-                F.expr("transform(sequence(0, size(t)-3), "
-                       "i -> concat_ws('_', t[i], t[i+1], t[i+2]))"))
-                .otherwise(F.array())).alias("shingle"))
-            .distinct())
+    sh = (docs
+          .select("doc_id", toks.alias("t"))
+          .select("doc_id", F.explode(F.when(
+              F.size("t") >= 3,
+              F.expr("transform(sequence(0, size(t)-3), "
+                     "i -> concat_ws('_', t[i], t[i+1], t[i+2]))"))
+              .otherwise(F.array())).alias("shingle")))
+    return sh.distinct() if distinct else sh
 
 
 def dedup_minhash(spark, sf_dir):
     """MinHash signatures (8 permutations via seeded md5) + LSH bands
     of 2 → candidate pairs per band bucket. The scale path: band
-    buckets shard the pair-join so no O(n²) compare."""
-    sh = _shingles(spark, sf_dir)
-    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
-    mh = (sh.crossJoin(F.broadcast(seeds))
-          .groupBy("doc_id", "seed")
-          .agg(F.min(F.substring(
-              F.md5(F.concat_ws(":", "seed", "shingle")), 1, 16))
-              .alias("mh")))
-    bands = (mh.withColumn("band", (F.col("seed") / 2).cast("int"))
-             .groupBy("doc_id", "band")
-             .agg(F.concat_ws("|", F.array_sort(F.collect_list("mh")))
-                  .alias("sig")))
+    buckets shard the pair-join so no O(n²) compare. All 8 signatures
+    are computed in ONE aggregation pass over the RAW (non-distinct)
+    shingle stream — min is multiset-invariant, so the dedup shuffle
+    is skipped and the per-doc agg gets map-side partial aggregation:
+    the only shuffle moves one (doc_id, 8 hashes) row per doc."""
+    sh = _shingles(spark, sf_dir, distinct=False)
+    mh = sh.groupBy("doc_id").agg(*[
+        F.min(F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(s)), "shingle")), 1, 16))
+        .alias(f"mh{s}") for s in range(8)])
+    # band b = seeds (2b, 2b+1); sig = order-insensitive concat (the
+    # same value the per-seed groupBy + string_agg oracle produces)
+    bands_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("|", F.array_sort(F.array(
+                     F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))))
+                 .alias("sig"))
+        for b in range(4)])
+    bands = (mh.select("doc_id", F.explode(bands_arr).alias("bs"))
+             .select("doc_id", F.col("bs.band").alias("band"),
+                     F.col("bs.sig").alias("sig")))
     a, bdf = bands.alias("a"), bands.alias("b")
     pairs = (a.join(bdf, (F.col("a.band") == F.col("b.band")) &
                          (F.col("a.sig") == F.col("b.sig")) &
@@ -448,12 +458,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     LSH practice; an uncapped join on raw shingle equality goes
     quadratic on Zipf-head shingles at corpus scale. Pairs must still
     share ≥1 (rare) shingle, so no O(n²)."""
-    # the HOT set (df > cap) is small by construction → broadcast anti-join
-    hot = (_shingles(spark, sf_dir).groupBy("shingle")
-           .agg(F.count("*").alias("sdf"))
-           .filter(F.col("sdf") > JACCARD_DF_CAP).select("shingle"))
-    sh = _shingles(spark, sf_dir).join(
-        F.broadcast(hot), "shingle", "left_anti")
+    # df-cap via a shingle-partitioned count window: ONE shuffle on
+    # shingle, and the surviving rows come out already partitioned by
+    # shingle — exactly the partitioning the pair equi-join needs, so
+    # the join adds no further exchange of this side
+    sh = (_shingles(spark, sf_dir)
+          .withColumn("sdf", F.count("*").over(
+              Window.partitionBy("shingle")))
+          .filter(F.col("sdf") <= JACCARD_DF_CAP)
+          .drop("sdf"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &

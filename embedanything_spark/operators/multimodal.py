@@ -88,15 +88,23 @@ def extract_features(assets: DataFrame,
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+N_PLANES = 32  # total hyperplanes
+N_BANDS = 4    # bands of 8 bits; candidates match on ANY full band
+
+
 def near_dup_by_embedding(features: DataFrame,
                           threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup candidates via sign-LSH bucketing:
-    docs bucketed by the sign pattern of 8 fixed pseudo-random
-    hyperplanes (seeded — no Date/random at plan time), pairwise cosine
-    only WITHIN buckets (no O(n²) cross join)."""
+    """Embedding-cosine near-dup candidates via BANDED sign-LSH:
+    32 fixed pseudo-random hyperplanes (seeded — no Date/random at
+    plan time) → 4 bands of 8 sign bits; a pair is a candidate when
+    ANY band's full pattern matches (standard OR-of-ANDs banding:
+    8-bit bands keep buckets selective while the 4-way OR keeps
+    recall); pairwise cosine only WITHIN band buckets (no O(n²) cross
+    join). At 10^12 rows raise the bits per band (e.g. 4×16) —
+    selectivity scales as 2^bits per band."""
     rng = np.random.default_rng(1234)
-    planes = rng.standard_normal((8, EMBED_DIM)).astype(float)
-    plane_cols = [
+    planes = rng.standard_normal((N_PLANES, EMBED_DIM)).astype(float)
+    bits = [
         F.when(
             F.aggregate(
                 F.zip_with("embedding",
@@ -105,10 +113,20 @@ def near_dup_by_embedding(features: DataFrame,
                 F.lit(0.0), lambda acc, x: acc + x) >= 0, "1")
         .otherwise("0")
         for p in planes]
-    b = features.select("path", "embedding",
-                        F.concat(*plane_cols).alias("bucket"))
+    per_band = N_PLANES // N_BANDS
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.concat(*bits[i * per_band:(i + 1) * per_band])
+                 .alias("sig"))
+        for i in range(N_BANDS)])
+    b = (features.select("path", "embedding",
+                         F.explode(bands).alias("bs"))
+         .select("path", "embedding",
+                 F.col("bs.band").alias("band"),
+                 F.col("bs.sig").alias("sig")))
     l, r = b.alias("l"), b.alias("r")
-    pairs = (l.join(r, (F.col("l.bucket") == F.col("r.bucket")) &
+    pairs = (l.join(r, (F.col("l.band") == F.col("r.band")) &
+                       (F.col("l.sig") == F.col("r.sig")) &
                        (F.col("l.path") < F.col("r.path")))
              .select(F.col("l.path").alias("p1"),
                      F.col("r.path").alias("p2"),
@@ -118,5 +136,6 @@ def near_dup_by_embedding(features: DataFrame,
                                     lambda a, b_: a.cast("double") *
                                     b_.cast("double")),
                          F.lit(0.0), lambda acc, x: acc + x)
-                     .alias("cos")))  # embeddings are L2-normalized
+                     .alias("cos"))
+             .distinct())  # a pair may match in several bands
     return pairs.filter(F.col("cos") >= threshold)

@@ -93,7 +93,7 @@ def test_checkpoint_resume(spark, tmp_path, transcripts_df, queries_pdf,
     b.run(transcripts_df, stop_after=2)  # simulated crash, no finalize
     assert len(committed_lineage(root)) == 2
     # fake a half-written batch the crash left behind
-    orphan = tmp_path / "ckpt" / "postings" / "batch-0002"
+    orphan = tmp_path / "ckpt" / "data" / "batch-0002"
     orphan.mkdir(parents=True)
     (orphan / "part-junk.parquet").write_bytes(b"corrupt")
 
