@@ -134,8 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time semantics (streaming analogs)
         "event_tumbling_window": events.event_tumbling_window,
         "event_sessionize": events.event_sessionize,
-        # multimodal plumbing (stubbed decode — no SQL oracle; the
-        # deterministic features are asserted in tests/)
+        # multimodal plumbing (stubbed decode kernel): features'
+        # metadata is DuckDB-oracle-checked against the persisted
+        # payloads; near-dup stays rows-only (embedding RNG kernel)
         "multimodal_features": _multimodal_features,
         "multimodal_near_dup": _multimodal_near_dup,
         # the engine itself (DuckDB-oracle-checked: full BM25 over the
@@ -144,12 +145,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_MM_ORACLE_DIR = "/tmp/ea_mm_oracle"
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing, DuckDB-oracle-checked on the
+    deterministic metadata (width/height from the payload hash,
+    n_frames from the video sampling rule): the synthetic assets are
+    persisted so oracle_sql() recomputes the same columns in SQL. The
+    embedding column stays rows-only (numpy RNG, not SQL-expressible)
+    and is asserted deterministic in tests/."""
+    import shutil
+
     from embedanything_spark.operators.multimodal import (extract_features,
                                                           synth_assets)
     from embedanything_spark.session import package_zip
     spark.sparkContext.addPyFile(package_zip())
-    return extract_features(synth_assets(spark, 120)).drop("embedding")
+    root = Path(_MM_ORACLE_DIR)
+    shutil.rmtree(root, ignore_errors=True)
+    synth_assets(spark, 120).write.mode("overwrite").parquet(
+        str(root / "assets"))
+    assets = spark.read.parquet(str(root / "assets"))
+    return extract_features(assets).drop("embedding")
 
 
 def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,6 +450,24 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_chunk": _chunker_sql(
             "sim IS NULL OR sim < 0.98", "",
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"),
+
+        # multimodal decode metadata recomputed from the persisted
+        # payloads (stub kernel contract: width/height = 64 + first
+        # two sha256 bytes of the lowercase-hex payload; n_frames =
+        # every-Nth cap 10 for video)
+        "multimodal_features":
+            "WITH a AS (SELECT * FROM "
+            f"read_parquet('{_MM_ORACLE_DIR}/assets/*.parquet')), "
+            "h AS (SELECT path, modality, length, "
+            " sha256(lower(hex(content))) AS hx FROM a) "
+            "SELECT path, modality, "
+            "CAST(64 + CAST(('0x' || substr(hx,1,2)) AS INTEGER) AS "
+            "INTEGER) AS width, "
+            "CAST(64 + CAST(('0x' || substr(hx,3,2)) AS INTEGER) AS "
+            "INTEGER) AS height, "
+            "CAST(CASE WHEN modality = 'video' THEN "
+            "least(10, greatest(1, length // 512)) ELSE 1 END AS "
+            "INTEGER) AS n_frames FROM h",
 
         # E3 late chunking: contextual (±2-doc window) static-embed
         # scalar, mean-pooled per fixed 4-doc chunk within source

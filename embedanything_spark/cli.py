@@ -48,6 +48,10 @@ def main(argv=None):
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--no-prune", action="store_true",
                    help="disable block-max pruning (debug)")
+    q.add_argument("--rerank", metavar="TRANSCRIPTS",
+                   help="cross-encoder rerank stage (reference query "
+                        "path step 3); needs the transcripts parquet "
+                        "for pair text")
 
     args = p.parse_args(argv)
     from embedanything_spark.session import get_spark
@@ -81,15 +85,23 @@ def main(argv=None):
                 "query_id": range(len(args.query)),
                 "query_text": args.query,
                 "k": [args.k] * len(args.query)})
-            out = IndexReader(spark, args.index).search(
-                qp, prune=not args.no_prune).toPandas()
+            res = IndexReader(spark, args.index).search(
+                qp, prune=not args.no_prune)
+            if args.rerank:
+                from embedanything_spark.index.rerank import rerank
+                res = rerank(res, qp, spark.read.parquet(args.rerank))
+            out = res.toPandas()
             for r in out.itertuples(index=False):
-                print(json.dumps({"query_id": int(r.query_id),
-                                  "rank": int(r.rank),
-                                  "conv_id": r.conv_id,
-                                  "turn_idx": int(r.turn_idx),
-                                  "doc_id": int(r.doc_id),
-                                  "score": round(float(r.score), 6)}))
+                rec = {"query_id": int(r.query_id),
+                       "rank": int(r.rank),
+                       "conv_id": r.conv_id,
+                       "turn_idx": int(r.turn_idx),
+                       "doc_id": int(r.doc_id),
+                       "score": round(float(r.score), 6)}
+                if args.rerank:
+                    rec["rerank_score"] = round(
+                        float(r.rerank_score), 6)
+                print(json.dumps(rec))
     finally:
         spark.stop()
 

@@ -53,8 +53,11 @@ def synth_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 def _decode_image_stub(content: bytes) -> tuple[int, int, np.ndarray]:
     """STUB — deterministic fake decode. Real impl: PIL.Image.open +
     resize + CLIP-style encode. Raises nothing here so the pipeline is
-    testable; a real deployment replaces this function only."""
-    h = hashlib.sha256(content).digest()
+    testable; a real deployment replaces this function only. The hash
+    basis is the lowercase-hex encoding of the payload so the metadata
+    (width/height) is independently recomputable by the DuckDB oracle
+    (sha256 there is VARCHAR-only)."""
+    h = hashlib.sha256(content.hex().encode()).digest()
     width = 64 + h[0]
     height = 64 + h[1]
     rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
