@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": similarity.ann_ivf,
         # embedding-space ops (E4/E5/E6/E10, A3/A4, P5)
         "pool_mean": embedops.pool_mean,
+        "pool_cls_last": embedops.pool_cls_last,
         "l2_normalize": embedops.l2_normalize,
         "static_embed": embedops.static_embed,
         "maxsim": embedops.maxsim,
@@ -620,6 +621,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, dim, CAST(ROUND(avg(v)*1e6) AS BIGINT) AS "
             "mean_micro, count(*)::BIGINT AS n FROM dims WHERE dim < 4 "
             "GROUP BY label, dim",
+
+        "pool_cls_last":
+            "WITH o AS (SELECT label, vec_id, embedding[1]::DOUBLE AS "
+            "d0, row_number() OVER (PARTITION BY label ORDER BY vec_id)"
+            " AS rf, row_number() OVER (PARTITION BY label ORDER BY "
+            "vec_id DESC) AS rl FROM embeddings) "
+            "SELECT label, "
+            "CAST(ROUND(max(CASE WHEN rf = 1 THEN d0 END)*1e6) AS "
+            "BIGINT) AS cls_dim0_micro, "
+            "CAST(ROUND(max(CASE WHEN rl = 1 THEN d0 END)*1e6) AS "
+            "BIGINT) AS last_dim0_micro, "
+            "count(*)::BIGINT AS n FROM o GROUP BY label",
 
         "l2_normalize":
             "SELECT vec_id, CAST(ROUND((embedding[1]::DOUBLE / "

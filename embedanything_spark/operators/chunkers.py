@@ -109,10 +109,11 @@ def statistical_chunk(spark, sf_dir) -> DataFrame:
     start_win, n_windows, n_tokens, n_subchunks) — all integral."""
     wins = _window_embeddings(spark, sf_dir)
     simdf = _sims(wins, -ROLL_WINDOWS)
-    th = (simdf.filter(F.col("sim").isNotNull())
-          .groupBy("doc_id")
-          .agg(F.percentile("sim", F.lit(SPLIT_PCT)).alias("th")))
-    joined = simdf.join(th, "doc_id", "left")
+    # per-doc threshold as a WINDOW aggregate (percentile skips nulls)
+    # — no groupBy + self-join, no recompute of the sim subtree
+    joined = simdf.withColumn(
+        "th", F.percentile("sim", F.lit(SPLIT_PCT)).over(
+            Window.partitionBy("doc_id")))
     boundary = F.col("sim").isNull() | (F.col("sim") < F.col("th"))
     return _chunk_rollup(joined, boundary).orderBy("doc_id", "chunk_id")
 

@@ -454,26 +454,29 @@ JACCARD_DF_CAP = 64  # Zipf-head shingles are dropped before the pair join
 def dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup over the RARE-shingle universe: shingles
     with df > JACCARD_DF_CAP are dropped symmetrically (from both the
-    common counts and the set sizes) before the equi-join — standard
-    LSH practice; an uncapped join on raw shingle equality goes
-    quadratic on Zipf-head shingles at corpus scale. Pairs must still
-    share ≥1 (rare) shingle, so no O(n²)."""
-    # df-cap via a shingle-partitioned count window: ONE shuffle on
-    # shingle, and the surviving rows come out already partitioned by
-    # shingle — exactly the partitioning the pair equi-join needs, so
-    # the join adds no further exchange of this side
-    sh = (_shingles(spark, sf_dir)
-          .withColumn("sdf", F.count("*").over(
-              Window.partitionBy("shingle")))
-          .filter(F.col("sdf") <= JACCARD_DF_CAP)
-          .drop("sdf"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
-                        (F.col("a.doc_id") < F.col("b.doc_id")))
-              .groupBy(F.col("a.doc_id").alias("d1"),
-                       F.col("b.doc_id").alias("d2"))
-              .agg(F.count("*").alias("common")))
+    common counts and the set sizes) — standard LSH practice; an
+    uncapped join on raw shingle equality goes quadratic on Zipf-head
+    shingles at corpus scale.
+
+    Plan shape (audited): ONE aggregation of the raw shingle stream
+    into per-shingle doc SETS (collect_set also dedups, so no separate
+    distinct shuffle), then candidate pairs are exploded NARROWLY from
+    each ≤cap-sized set — no self-join, and the cap structurally
+    bounds pairs-per-shingle at cap·(cap-1)/2. Sizes derive from the
+    same small aggregated relation."""
+    sh = _shingles(spark, sf_dir, distinct=False)
+    grp = (sh.groupBy("shingle")
+           .agg(F.collect_set("doc_id").alias("docs"))
+           .filter(F.size("docs") <= JACCARD_DF_CAP)
+           .select(F.array_sort("docs").alias("docs")))
+    sizes = (grp.select(F.explode("docs").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("sz")))
+    pairs = grp.select(F.explode(F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x AS d1, y AS d2))))")).alias("p"))
+    common = (pairs.select("p.d1", "p.d2")
+              .groupBy("d1", "d2").agg(F.count("*").alias("common")))
     s1 = sizes.select(F.col("doc_id").alias("d1"),
                       F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"),

@@ -36,6 +36,27 @@ def pool_mean(spark, sf_dir):
                  F.count("*").alias("n")))
 
 
+def pool_cls_last(spark, sf_dir):
+    """E4's other pooling modes (pooling.rs:50-128): treat each label's
+    vec_id-ordered vector set as one sequence; CLS = first vector,
+    LastToken = last non-pad (here: last) vector. Export dim 0 of each,
+    micro-rounded."""
+    emb = load(spark, sf_dir, "embeddings")
+    d0 = F.element_at(F.transform("embedding",
+                                  lambda x: x.cast("double")), 1)
+    w = Window.partitionBy("label").orderBy("vec_id")
+    wd = Window.partitionBy("label").orderBy(F.desc("vec_id"))
+    return (emb.select("label", "vec_id", d0.alias("d0"))
+            .withColumn("rf", F.row_number().over(w))
+            .withColumn("rl", F.row_number().over(wd))
+            .groupBy("label")
+            .agg(micro(F.max(F.when(F.col("rf") == 1, F.col("d0"))))
+                 .alias("cls_dim0_micro"),
+                 micro(F.max(F.when(F.col("rl") == 1, F.col("d0"))))
+                 .alias("last_dim0_micro"),
+                 F.count("*").alias("n")))
+
+
 def l2_normalize(spark, sf_dir):
     """Rowwise L2 normalization; export dim-0 of the unit vector."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
