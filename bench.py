@@ -162,11 +162,16 @@ def bench_build_and_query(results: dict) -> None:
             reader.search(q, prune=True).collect()
             lat.append(time.time() - t0)
         # batch mode: all 50 queries in ONE job (the engine's natural
-        # shape — per-query p50 above is dominated by job overhead)
+        # shape — per-query p50 above is dominated by job overhead);
+        # prune=False batch quantifies what block-max WAND saves
         t0 = time.time()
         reader.search(queries, prune=True).collect()
         batch_sec = time.time() - t0
+        t0 = time.time()
+        reader.search(queries, prune=False).collect()
+        batch_noprune_sec = time.time() - t0
         results["query"] = {
+            "batch_50_noprune_sec": round(batch_noprune_sec, 3),
             "n_queries": len(lat),
             "p50_sec": round(statistics.median(lat), 3),
             "p95_sec": round(sorted(lat)[math.ceil(0.95 * len(lat)) - 1], 3),
@@ -248,9 +253,9 @@ and the Spark layer adds no scaling loss of its own.
 
 ## BM25 query latency (50-query frozen set, block-max WAND on)
 
-| p50 | p95 | mean | batch-of-50 | amortized/query |
-|---|---|---|---|---|
-| {q['p50_sec']} s | {q['p95_sec']} s | {q['mean_sec']} s | {q['batch_50_sec']} s | {q['amortized_per_query_sec']} s |
+| p50 | p95 | mean | batch-of-50 | amortized/query | batch no-prune |
+|---|---|---|---|---|---|
+| {q['p50_sec']} s | {q['p95_sec']} s | {q['mean_sec']} s | {q['batch_50_sec']} s | {q['amortized_per_query_sec']} s | {q['batch_50_noprune_sec']} s |
 
 Per-query numbers run one Spark job per query (job-scheduling
 overhead dominates); the batch row runs the whole frozen set in one

@@ -40,6 +40,15 @@ def main(argv=None):
     b.add_argument("--block-range", type=int, default=None)
     b.add_argument("--partitions", type=int, default=None)
 
+    st = sub.add_parser("stats", help="index meta + per-batch and "
+                        "per-partition lineage", parents=[common])
+    st.add_argument("--index", required=True)
+
+    c = sub.add_parser("compact", help="merge all committed batch "
+                       "segments into one (Lucene-merge analogue)",
+                       parents=[common])
+    c.add_argument("--index", required=True)
+
     q = sub.add_parser("query", help="BM25 top-k search",
                        parents=[common])
     q.add_argument("--index", required=True)
@@ -77,6 +86,23 @@ def main(argv=None):
                 print(json.dumps(lineage[-1]))
             else:
                 print(json.dumps(w.build(t)))
+        elif args.cmd == "compact":
+            from embedanything_spark.index.build import IndexWriter
+            print(json.dumps(IndexWriter(args.index).compact(spark)))
+        elif args.cmd == "stats":
+            from embedanything_spark.index.build import (
+                committed_lineage, partition_lineage)
+            meta = json.loads(
+                (__import__("pathlib").Path(args.index) /
+                 "_meta/meta.json").read_text())
+            print(json.dumps({"meta": meta,
+                              "batches": committed_lineage(args.index)}))
+            for r in (partition_lineage(spark, args.index)
+                      .orderBy("part_id").toPandas()
+                      .itertuples(index=False)):
+                print(json.dumps({k: (v if not hasattr(v, "item")
+                                      else v.item())
+                                  for k, v in r._asdict().items()}))
         elif args.cmd == "query":
             import pandas as pd
 

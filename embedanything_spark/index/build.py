@@ -86,13 +86,20 @@ def _searchsorted_udf(bounds_bc):
 _DOC_COLS = ["doc_id", "conv_id", "turn_idx", "role", "ts", "doclen"]
 _BLOCK_COLS = ["term", "range_id", "n", "min_doc", "max_doc", "max_tf",
                "min_dl", "sum_tf", "doc_bytes", "tf_bytes", "dl_bytes"]
+# kind='part': one per-partition lineage row (north rule: resumable
+# with PER-PARTITION lineage + metrics)
+_PART_COLS = ["part_id", "part_docs", "part_postings", "part_blocks",
+              "part_payload_bytes", "part_buckets", "part_sec"]
 _UNION_SCHEMA = (
     "kind string, doc_id long, conv_id string, turn_idx int, "
     "role string, ts timestamp, doclen int, "
     "term string, range_id long, n int, min_doc long, max_doc long, "
     "max_tf int, min_dl int, sum_tf long, "
-    "doc_bytes binary, tf_bytes binary, dl_bytes binary")
-_ALL_COLS = ["kind"] + _DOC_COLS + _BLOCK_COLS
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "part_id int, part_docs long, part_postings long, "
+    "part_blocks long, part_payload_bytes long, part_buckets int, "
+    "part_sec double")
+_ALL_COLS = ["kind"] + _DOC_COLS + _BLOCK_COLS + _PART_COLS
 
 
 def _pad(pdf: pd.DataFrame, kind: str) -> pd.DataFrame:
@@ -168,6 +175,8 @@ def _build_partition_factory(bucket_starts: list[int], block_range: int):
     from embedanything_spark.analyzer import tokenize
 
     def fn(batches):
+        from pyspark import TaskContext
+        t_start = time.time()
         seen: dict[int, int] = {}  # bucket -> rows consumed so far
         doc_l, dl_l, term_l, tf_l = [], [], [], []
         for pdf in batches:
@@ -227,7 +236,20 @@ def _build_partition_factory(bucket_starts: list[int], block_range: int):
              "doc_id": doc[order],
              "tf": tf[order],
              "doclen": dl[order]})
-        yield _pad(_encode_batch(sorted_pdf), "block")
+        blocks = _encode_batch(sorted_pdf)
+        yield _pad(blocks, "block")
+        ctx = TaskContext.get()
+        payload = int(sum(blocks[c].map(len).sum()
+                          for c in ("doc_bytes", "tf_bytes", "dl_bytes")))
+        yield _pad(pd.DataFrame({
+            "part_id": [np.int32(ctx.partitionId() if ctx else -1)],
+            "part_docs": [np.int64(sum(seen.values()))],
+            "part_postings": [np.int64(len(doc))],
+            "part_blocks": [np.int64(len(blocks))],
+            "part_payload_bytes": [np.int64(payload)],
+            "part_buckets": [np.int32(len(seen))],
+            "part_sec": [time.time() - t_start],
+        }), "part")
 
     return fn
 
@@ -240,7 +262,18 @@ def committed_lineage(root: str | Path) -> list[dict]:
     return [json.loads(line) for line in f.read_text().splitlines() if line]
 
 
-_TABLE_KIND = {"docmap": "doc", "postings": "block"}
+def partition_lineage(spark: SparkSession, root: str | Path) -> DataFrame:
+    """PER-PARTITION lineage metrics of all committed batches (north
+    rule): one row per fused-pass partition with docs/postings/blocks/
+    payload-bytes/bucket counts and wall seconds. Written by the build
+    itself (kind='part' rows) — reading them costs nothing at build
+    time."""
+    return (spark.read.parquet(*table_paths(root, "partitions"))
+            .select(*_PART_COLS))
+
+
+_TABLE_KIND = {"docmap": "doc", "postings": "block",
+               "partitions": "part"}
 
 
 def table_paths(root: str | Path, table: str) -> list[str]:
@@ -413,6 +446,133 @@ class IndexWriter:
             f.write(json.dumps(lineage) + "\n")  # ← atomic commit point
         if finalize:
             self.finalize(spark)
+        return lineage
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Merge ALL committed batch segments into one compacted batch
+        — the Lucene/ES segment-merge analogue for incremental and
+        streaming builds (many small committed batches accumulate
+        duplicate (term, range_id) block rows; queries stay exact but
+        decode more blocks than needed). Blocks sharing
+        (term, range_id) are decoded, merged in doc order and
+        re-encoded via ONE term+range-keyed shuffle of encoded
+        payloads (maintenance path, not the build hot path; group size
+        is bounded by block_range docs, so hot terms cannot skew a
+        reducer). docmap rows are concatenated unchanged — doc_ids are
+        already globally dense across batch offsets.
+
+        Atomicity: the compacted batch is written to a fresh dir;
+        lineage.jsonl is then REWRITTEN via os.replace (the atomic
+        switch); stale batch dirs are removed last. A crash before the
+        replace leaves the old lineage fully valid."""
+        import os
+        import shutil
+
+        from embedanything_spark.index.codec import varint_decode
+
+        t0 = time.time()
+        old_lineage = committed_lineage(self.root)
+        sub = f"batch-compact-{uuid.uuid4().hex[:8]}"
+        out_dir = self.root / "data" / sub
+        n_docs = sum(ln["n_docs"] for ln in old_lineage)
+
+        docmap = spark.read.parquet(*table_paths(self.root, "docmap"))
+        (docmap.write.mode("overwrite")
+               .parquet(str(out_dir / "kind=doc")))
+        parts = spark.read.parquet(*table_paths(self.root, "partitions"))
+        (parts.write.mode("overwrite")
+              .parquet(str(out_dir / "kind=part")))
+
+        def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            """≥2 block rows with one (term, range_id) → one row."""
+            docs_l, tf_l, dl_l = [], [], []
+            for r in pdf.itertuples():
+                docs_l.append(np.cumsum(varint_decode(r.doc_bytes))
+                              .astype(np.int64) + np.int64(r.min_doc))
+                tf_l.append(varint_decode(r.tf_bytes).astype(np.int64))
+                dl_l.append(varint_decode(r.dl_bytes).astype(np.int64))
+            doc = np.concatenate(docs_l)
+            order = np.argsort(doc, kind="stable")
+            frame = pd.DataFrame({
+                "term": pdf["term"].iloc[0],
+                "range_id": pdf["range_id"].iloc[0],
+                "doc_id": doc[order],
+                "tf": np.concatenate(tf_l)[order],
+                "doclen": np.concatenate(dl_l)[order]})
+            return _encode_batch(frame)[_BLOCK_COLS]
+
+        def merge_stream(batches):
+            """One vectorized pass over a (term, range_id)-sorted
+            partition: singleton keys pass through UNDECODED; only
+            duplicated keys decode+merge. A carry buffer handles
+            groups straddling Arrow batch boundaries (per-group
+            applyInPandas costs a Python call per tiny group — ~30k
+            calls on even a small index)."""
+            carry = None
+            for pdf in batches:
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                if len(pdf) == 0:
+                    continue
+                key = (pdf["term"].astype(str) + "\x00" +
+                       pdf["range_id"].astype(str)).to_numpy()
+                tail = int((key[::-1] != key[-1]).argmax())
+                if tail == 0 and key[0] == key[-1]:
+                    carry = pdf  # whole batch is one group — keep
+                    continue
+                carry = pdf.iloc[len(pdf) - tail:]
+                head = pdf.iloc[:len(pdf) - tail]
+                yield from _emit(head)
+            if carry is not None and len(carry):
+                yield from _emit(carry)
+
+        def _emit(pdf: pd.DataFrame):
+            key = (pdf["term"].astype(str) + "\x00" +
+                   pdf["range_id"].astype(str)).to_numpy()
+            starts = np.nonzero(np.r_[True, key[1:] != key[:-1]])[0]
+            ends = np.r_[starts[1:], len(pdf)]
+            sizes = ends - starts
+            single_mask = np.zeros(len(pdf), dtype=bool)
+            single_mask[starts[sizes == 1]] = True
+            singles = pdf[single_mask]
+            if len(singles):
+                yield singles[_BLOCK_COLS]
+            for a, b in zip(starts[sizes > 1], ends[sizes > 1]):
+                yield _merge_group(pdf.iloc[a:b])
+
+        blocks = spark.read.parquet(*table_paths(self.root, "postings"))
+        # ONE shuffle on (term, range_id); sortWithinPartitions keeps
+        # files term-clustered so parquet row-group min/max pruning on
+        # term still applies (no extra range exchange — its sampling
+        # would re-run the merge)
+        (blocks.repartition(self._parts(spark), "term", "range_id")
+               .sortWithinPartitions("term", "range_id")
+               .mapInPandas(merge_stream,
+                            schema=blocks.select(*_BLOCK_COLS).schema)
+               .write.mode("overwrite")
+               .parquet(str(out_dir / "kind=block")))
+
+        lineage = {
+            "batch_id": sub[len("batch-"):],
+            "doc_id_offset": 0,
+            "n_docs": int(n_docs),
+            "wall_sec": round(time.time() - t0, 3),
+            "turns_per_sec": round(n_docs / max(time.time() - t0, 1e-9),
+                                   1),
+            "num_partitions": self._parts(spark),
+            "compacted_from": [ln["batch_id"] for ln in old_lineage],
+            "snapshot_id": uuid.uuid4().hex,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
+        }
+        tmp = self.root / "_meta/lineage.jsonl.tmp"
+        tmp.write_text(json.dumps(lineage) + "\n")
+        os.replace(tmp, self.root / "_meta/lineage.jsonl")  # ← atomic
+        for ln in old_lineage:
+            shutil.rmtree(self.root / "data" / f"batch-{ln['batch_id']}",
+                          ignore_errors=True)
+        self.finalize(spark)
         return lineage
 
     def finalize(self, spark: SparkSession) -> dict:

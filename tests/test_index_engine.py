@@ -141,3 +141,38 @@ def test_checkpoint_small_corpus(spark, tmp_path):
     a = IndexReader(spark, root).search(q).toPandas()
     c = IndexReader(spark, single).search(q).toPandas()
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_compaction(spark, tmp_path, queries_pdf):
+    """Segment merge: a 3-batch checkpointed build compacted into one
+    batch gives byte-identical search results, a single committed
+    batch, no duplicate (term, range_id) block rows, and per-partition
+    lineage preserved. (Rank-identity vs the golden oracle is covered
+    by the full-fixture engine tests; this one uses a small corpus so
+    the 3 batch builds stay cheap.)"""
+    from pyspark.sql import functions as F
+
+    from embedanything_spark.datagen import gen_transcripts_df
+
+    t = gen_transcripts_df(spark, 40)
+    root = str(tmp_path / "cmp")
+    w = IndexWriter(root, block_range=64, num_partitions=2)
+    CheckpointedIndexBuilder(w, n_batches=3).run(t)
+    q = queries_pdf.head(6)
+    before = IndexReader(spark, root).search(q).toPandas()
+    n_blocks_before = spark.read.parquet(
+        *table_paths(root, "postings")).count()
+
+    lineage = w.compact(spark)
+    assert lineage["compacted_from"] == ["0000", "0001", "0002"]
+    assert len(committed_lineage(root)) == 1
+    after = IndexReader(spark, root).search(q).toPandas()
+    pd.testing.assert_frame_equal(before.reset_index(drop=True),
+                                  after.reset_index(drop=True))
+    blocks = spark.read.parquet(*table_paths(root, "postings"))
+    assert blocks.count() <= n_blocks_before
+    dupes = (blocks.groupBy("term", "range_id").count()
+             .filter(F.col("count") > 1).count())
+    assert dupes == 0
+    from embedanything_spark.index.build import partition_lineage
+    assert partition_lineage(spark, root).count() > 0
