@@ -176,3 +176,13 @@ def test_compaction(spark, tmp_path, queries_pdf):
     assert dupes == 0
     from embedanything_spark.index.build import partition_lineage
     assert partition_lineage(spark, root).count() > 0
+    # incremental append AFTER compaction: offsets continue from the
+    # compacted batch; results over the union corpus stay consistent
+    extra = gen_transcripts_df(spark, 50).filter(
+        "conv_id >= 'conv-00000040'")
+    n_before = sum(ln["n_docs"] for ln in committed_lineage(root))
+    w.build(extra, batch_id="post-compact", doc_id_offset=n_before)
+    lns = committed_lineage(root)
+    assert [ln["batch_id"] for ln in lns][-1] == "post-compact"
+    res = IndexReader(spark, root).search(q).toPandas()
+    assert len(res) >= len(after)
