@@ -1,0 +1,96 @@
+"""File sources: directory scan + format decode (SURVEY.md §2.1).
+
+Implements the reference's file-loading surface with Spark built-ins:
+
+- ``scan_files``: recursive directory walk with an extension regex
+  filter (``rust/src/file_loader.rs:27-53``) — a ``binaryFile`` read,
+  so the same call works on s3a:// / abfs:// paths on a real cluster.
+- ``decode_documents``: per-extension decode to text
+  (``processors/src/*``): TXT/MD pass through UTF-8
+  (``txt_processor.rs:17-21``, ``markdown_processor.rs:17-26``); HTML
+  is tag-stripped, entity-decoded and markdown-link-stripped with pure
+  Catalyst regex ops (``html_processor.rs:31-42`` — its link-strip
+  regex is P5). PDF/DOCX decoding needs native libs the container
+  doesn't ship; those extensions raise cleanly at plan time, the same
+  honest seam as the multimodal stubs.
+- ``incremental_files``: anti-join against the already-indexed set
+  (``file_loader.rs:118-126`` — S5 at file granularity).
+
+Decoded output is transcript-shaped (conv_id = file path, turn_idx =
+chunk index) so it feeds ``IndexWriter.build`` directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TEXT_EXTENSIONS = ("txt", "md", "html")
+_DECODABLE = set(TEXT_EXTENSIONS)
+
+
+def scan_files(spark: SparkSession, path: str,
+               extensions: tuple[str, ...] = TEXT_EXTENSIONS) -> DataFrame:
+    """Recursive scan of ``path`` filtered to ``extensions`` —
+    (path, modificationTime, length, content) like the reference's
+    FileParser walk (metadata projection P6 included for free)."""
+    ext_re = "|".join(extensions)
+    return (spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*")
+            .load(path)
+            .filter(F.col("path").rlike(rf"\.({ext_re})$")))
+
+
+def _html_to_text(col: F.Column) -> F.Column:
+    """Pure-regex HTML → text: drop script/style blocks, strip tags,
+    decode the common entities, strip markdown links (P5), squeeze
+    whitespace. The reference delegates to an html→markdown crate;
+    this covers the same test surface for simple documents."""
+    c = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " ")):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"\[([^\]]+)\]\([^\)]+\)", "$1")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def decode_documents(files: DataFrame, chunk_chars: int = 1000,
+                     overlap_chars: int = 0) -> DataFrame:
+    """Decode scanned files to transcript-shaped chunk rows
+    (conv_id = path, turn_idx = chunk index, text = chunk). Chunking
+    mirrors TextEmbedConfig's char splitter (chunk_size=1000 default,
+    config.rs:64-78). Unknown extensions raise at plan construction —
+    the PDF/DOCX seam is explicit, not silent."""
+    exts = [r["ext"] for r in
+            files.select(F.regexp_extract("path", r"\.(\w+)$", 1)
+                         .alias("ext")).distinct().collect()]
+    bad = sorted({e.lower() for e in exts} - _DECODABLE)
+    if bad:
+        raise NotImplementedError(
+            f"no decoder for extensions {bad}: PDF/DOCX need native "
+            "libs (pdf_extract/docx crates in the reference) not in "
+            "this container — decode them upstream or extend "
+            "_DECODABLE with a real kernel")
+    ext = F.lower(F.regexp_extract("path", r"\.(\w+)$", 1))
+    raw = F.decode(F.col("content"), "UTF-8")
+    text = F.when(ext == "html", _html_to_text(raw)).otherwise(
+        F.regexp_replace(raw, r"\[([^\]]+)\]\([^\)]+\)", "$1"))
+    step = max(1, chunk_chars - overlap_chars)
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(length(full) - 1, 0), {step}),"
+        f" s -> substring(full, s + 1, {chunk_chars}))")
+    return (files
+            .select(F.col("path").alias("conv_id"),
+                    F.col("modificationTime").alias("ts"),
+                    text.alias("full"))
+            .select("conv_id", "ts",
+                    F.posexplode(chunks).alias("turn_idx", "text"))
+            .select("conv_id", F.col("turn_idx").cast("int"),
+                    F.lit("doc").alias("role"), "text",
+                    F.lit(None).cast("string").alias("tool"), "ts"))
+
+
+def incremental_files(files: DataFrame, indexed: DataFrame) -> DataFrame:
+    """S5: drop files whose path is already in the indexed set."""
+    return files.join(indexed.select("path"), "path", "left_anti")
