@@ -186,3 +186,34 @@ def test_compaction(spark, tmp_path, queries_pdf):
     assert [ln["batch_id"] for ln in lns][-1] == "post-compact"
     res = IndexReader(spark, root).search(q).toPandas()
     assert len(res) >= len(after)
+
+
+def test_hot_term_skew(spark, tmp_path):
+    """North-rule skew criterion: a term present in EVERY doc (Zipf
+    head extreme) must not concentrate — its postings stay spread
+    across doc-range segments with bounded per-block counts, the
+    dictionary merge still aggregates one metadata row per block, and
+    top-k for the hot term is correct."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from embedanything_spark.datagen import gen_transcripts_df
+
+    t = gen_transcripts_df(spark, 120).withColumn(
+        "text", F.concat(F.lit("hotterm "), F.col("text")))
+    root = str(tmp_path / "hot")
+    IndexWriter(root, block_range=64, num_partitions=4).build(t)
+    blocks = (spark.read.parquet(*table_paths(root, "postings"))
+              .filter(F.col("term") == "hotterm")
+              .select("range_id", "n").toPandas())
+    n_docs = int(t.count())
+    assert blocks["n"].sum() == n_docs          # df == corpus size
+    assert len(blocks) >= n_docs // 64           # spread over ranges
+    assert blocks["n"].max() <= 64               # bounded per block
+    d = spark.read.parquet(f"{root}/dictionary") \
+        .filter(F.col("term") == "hotterm").collect()[0]
+    assert d["df"] == n_docs
+    q = pd.DataFrame({"query_id": [0], "query_text": ["hotterm"],
+                      "k": [5]})
+    res = IndexReader(spark, root).search(q).toPandas()
+    assert len(res) == 5 and (res["score"] > 0).all()

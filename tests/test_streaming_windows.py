@@ -84,3 +84,56 @@ def test_stateful_sessionize(spark, events_dir):
     if len(got):
         assert (got["session_end"] >= got["session_start"]).all()
         assert (got["n_events"] >= 1).all()
+
+
+def test_late_rows_dropped(spark, tmp_path):
+    """Watermark semantics with genuinely LATE data: batch 1 advances
+    the watermark past window 0, batch 2 confirms it (Spark filters
+    late input against the PREVIOUS batch's watermark), batch 3
+    carries an event for the closed window → dropped, not re-opened
+    (maxFilesPerTrigger=1 makes each file its own micro-batch; mtimes
+    pin the order)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def mk(eid, mins, val):
+        return dict(event_id=eid, user_id=1, event_type="a", value=val,
+                    ts=base + pd.Timedelta(minutes=mins))
+
+    files = {
+        # window 0 rows + a 02:00 event → watermark 01:30 > window end
+        "f1": [mk(1, 10, 1.0), mk(2, 20, 1.0), mk(3, 120, 1.0)],
+        "f2": [mk(4, 130, 1.0)],                  # watermark holds
+        "f3": [mk(5, 30, 100.0), mk(6, 140, 1.0)],  # 5 is LATE
+    }
+    now = _time.time()
+    for i, (name, rows) in enumerate(files.items()):
+        (spark.createDataFrame(pd.DataFrame(rows)).coalesce(1)
+         .write.mode("overwrite").parquet(str(src / name)))
+        for p in (src / name).glob("*.parquet"):
+            os.utime(p, (now - 3600 + i * 60, now - 3600 + i * 60))
+
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*/"))
+    q = (windowed_counts(stream).writeStream.format("memory")
+         .queryName("late_win").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress if p["stateOperators"])
+    got = spark.table("late_win").toPandas()
+    w0 = got[got["window_start"] == base]
+    # window 0 closed with ONLY the on-time rows: n=2, sum=2.0 — the
+    # late value=100 row was dropped by the watermark
+    assert dropped == 1
+    assert len(w0) == 1
+    assert int(w0.iloc[0]["n"]) == 2
+    assert float(w0.iloc[0]["sum_value"]) == 2.0
