@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_normalize": embedops.l2_normalize,
         "static_embed": embedops.static_embed,
         "maxsim": embedops.maxsim,
+        "maxsim_multi": embedops.maxsim_multi,
         "agg_stats": embedops.agg_stats,
         "cumulative_tokens": embedops.cumulative_tokens,
         "link_strip": embedops.link_strip,
@@ -655,6 +656,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, CAST(ROUND(max(list_cosine_similarity("
             "embedding, qv))*1e6) AS BIGINT) AS maxsim_micro "
             "FROM embeddings, q GROUP BY label",
+
+        "maxsim_multi":
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM "
+            " embeddings WHERE vec_id < 3), "
+            "s AS (SELECT e.label, q.qid, "
+            " max(list_cosine_similarity(e.embedding, q.qv)) AS m "
+            " FROM embeddings e, q GROUP BY e.label, q.qid) "
+            "SELECT label, CAST(ROUND(sum(m)*1e6) AS BIGINT) AS "
+            "maxsim_micro FROM s GROUP BY label",
 
         "agg_stats":
             "SELECT source, CAST(ROUND(quantile_cont(n_chars, 0.5)*1e6) "

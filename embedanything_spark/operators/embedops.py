@@ -90,6 +90,23 @@ def maxsim(spark, sf_dir):
             .agg(micro(F.max("cos")).alias("maxsim_micro")))
 
 
+def maxsim_multi(spark, sf_dir):
+    """FULL MaxSim late interaction (E10, colbert.py:38-43): per query
+    TOKEN (vectors 0..2 play the query's token vectors), take the max
+    cosine over the doc's vector set (label = multi-vector doc), then
+    SUM over query tokens — einsum('bnd,csd->bcns').max(3).sum(2)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    qs = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("qid"), e.alias("qv")))
+    per_tok = (emb.crossJoin(F.broadcast(qs))
+               .select("label", "qid",
+                       _cosine(e, F.col("qv")).alias("cos"))
+               .groupBy("label", "qid").agg(F.max("cos").alias("m")))
+    return (per_tok.groupBy("label")
+            .agg(micro(F.sum("m")).alias("maxsim_micro")))
+
+
 def agg_stats(spark, sf_dir):
     """Median (continuous) + sample stddev of doc length per source."""
     docs = load(spark, sf_dir, "documents")
