@@ -1,16 +1,26 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry()     — flagship BM25 top-k over the sf0.001 documents table.
+entry()     — flagship BM25 top-20 over the sf0.001 documents table,
+              answered THROUGH the posting-list engine (index build +
+              block-max WAND via IndexReader).
 queries()   — one entry per implemented operator family (SURVEY.md §2):
-              BM25/index statistics, joins/windows/top-k, dedup
-              (exact/minhash/simhash/jaccard), similarity search
-              (brute cosine + IVF), text analysis, event windows/
-              sessionization, plus the transcripts posting-list engine
-              itself (rows-only check: index build + WAND query).
-oracle_sql()— exact DuckDB equivalents. Floats are exported as
-              micro-rounded BIGINTs on BOTH sides so value hashes are
-              immune to last-ulp noise; every computed column is
-              aliased identically in Spark and SQL.
+              BM25/index statistics (DataFrame slice AND engine path),
+              joins/windows/top-k, hybrid fusion of the live
+              retrievers, cross-encoder rerank, semantic chunkers
+              (statistical/cumulative/late), dedup (exact/minhash/
+              simhash/jaccard), similarity search (brute cosine + IVF
+              + MaxSim), text analysis, event windows/sessionization,
+              multimodal plumbing, and the transcripts posting-list
+              engine end-to-end (transcripts_bm25_wand).
+oracle_sql()— exact DuckDB equivalents for 39 of the 40 entries
+              (multimodal_near_dup stays rows-only: its kernel is a
+              numpy-RNG stub). Floats are exported as micro-rounded
+              BIGINTs on BOTH sides so value hashes are immune to
+              last-ulp noise; every computed column is aliased
+              identically in Spark and SQL. Entries that need inputs
+              beyond the driver tables (the WAND engine, multimodal
+              features) persist their deterministic inputs to fixed
+              /tmp paths that the SQL reads back.
 """
 
 from __future__ import annotations

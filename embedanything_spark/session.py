@@ -41,6 +41,13 @@ def get_spark(app: str = "embedanything-spark",
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory",
                  os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+         # spill-awareness: scan-partition size caps per-task memory in
+         # the fused build pass alongside DOCS_PER_PARTITION; shrink at
+         # scale if executors are memory-tight (brief: size partitions
+         # to fit executor memory at the target SF)
+         .config("spark.sql.files.maxPartitionBytes",
+                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                                str(128 * 1024 * 1024)))
          .config("spark.ui.enabled", "false"))
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
