@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "ann_ivf": similarity.ann_ivf,
+        "near_dup_embeddings": similarity.near_dup_embeddings,
         # embedding-space ops (E4/E5/E6/E10, A3/A4, P5)
         "pool_mean": embedops.pool_mean,
         "pool_cls_last": embedops.pool_cls_last,
@@ -286,9 +287,46 @@ def _chunker_sql(boundary: str, th_join: str, frame: str) -> str:
         "FROM c GROUP BY doc_id, chunk_id")
 
 
+def _near_dup_sql() -> str:
+    """Code-generated oracle for banded sign-LSH near-dup: the SAME
+    hyperplane literals as the Spark plan, 32 sign bits → 4×8-bit band
+    signatures, candidates share a band, cosine-filtered. Planted
+    scaled copies (vec_id+10000, embedding×2) are unioned in SQL too."""
+    from embedanything_spark.operators.similarity import (
+        NEAR_DUP_BANDS, NEAR_DUP_PLANES, NEAR_DUP_THRESHOLD,
+        near_dup_planes)
+    planes = near_dup_planes()
+    signs = ", ".join(
+        "CASE WHEN (" + " + ".join(
+            f"embedding[{i + 1}]*({v!r})" for i, v in enumerate(p)) +
+        f") >= 0 THEN '1' ELSE '0' END AS s{j}"
+        for j, p in enumerate(planes))
+    per = NEAR_DUP_PLANES // NEAR_DUP_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band, " +
+        "||".join(f"s{b * per + k}" for k in range(per)) +
+        " AS sig FROM s" for b in range(NEAR_DUP_BANDS))
+    return (
+        "WITH u AS (SELECT vec_id, embedding FROM embeddings "
+        " UNION ALL SELECT vec_id + 10000, "
+        " list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) "
+        " AS FLOAT)) FROM embeddings WHERE vec_id < 10), "
+        f"s AS (SELECT vec_id, embedding, {signs} FROM u), "
+        f"bands AS ({band_rows}) "
+        "SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, "
+        "CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding)"
+        "*1e6) AS BIGINT) AS cos_micro "
+        "FROM bands a JOIN bands b ON a.band = b.band AND "
+        "a.sig = b.sig AND a.vec_id < b.vec_id "
+        f"WHERE CAST(ROUND(list_cosine_similarity(a.embedding, "
+        f"b.embedding)*1e6) AS BIGINT) >= "
+        f"{int(NEAR_DUP_THRESHOLD * 1e6)} ORDER BY v1, v2")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcripts_bm25_wand": _WAND_SQL,
+        "near_dup_embeddings": _near_dup_sql(),
 
         "term_tf": f"{_TF} SELECT doc_id, term, tf FROM tf",
 

@@ -74,6 +74,68 @@ def build_centroids(emb: DataFrame) -> DataFrame:
                     .alias("centroid")))
 
 
+NEAR_DUP_SEED = 20260816
+NEAR_DUP_PLANES = 32
+NEAR_DUP_BANDS = 4
+NEAR_DUP_DIM = 64
+NEAR_DUP_THRESHOLD = 0.99
+
+
+def near_dup_planes():
+    """Deterministic hyperplanes shared by the Spark plan and the
+    generated DuckDB oracle (literals on both sides)."""
+    import numpy as np
+    rng = np.random.default_rng(NEAR_DUP_SEED)
+    return rng.standard_normal((NEAR_DUP_PLANES, NEAR_DUP_DIM))
+
+
+def near_dup_embeddings(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup over the embeddings table via banded
+    sign-LSH (4 bands × 8 bits — candidates share a full band; cosine
+    checked only within band buckets, no O(n²)). The table has no
+    organic near-dups (max pairwise cosine ≈ 0.51), so 10 scaled
+    copies (×2 → cosine exactly 1.0, different bytes) are planted with
+    vec_id+10000 INSIDE the query on both engines; the operator must
+    recover exactly the planted pairs. Output (v1, v2, cos_micro)."""
+    emb = load(spark, sf_dir, "embeddings")
+    planted = (emb.filter(F.col("vec_id") < 10)
+               .select((F.col("vec_id") + 10000).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda x: x * F.lit(2.0).cast("float"))
+                       .alias("embedding")))
+    u = emb.select("vec_id", "embedding").unionByName(planted)
+    e = _dbl(F.col("embedding"))
+    planes = near_dup_planes()
+    bits = [
+        F.when(F.aggregate(
+            F.zip_with(e, F.array(*[F.lit(float(v)) for v in p]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x) >= 0, "1").otherwise("0")
+        for p in planes]
+    per_band = NEAR_DUP_PLANES // NEAR_DUP_BANDS
+    bands_arr = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.concat(*bits[i * per_band:(i + 1) * per_band])
+                 .alias("sig")) for i in range(NEAR_DUP_BANDS)])
+    b = (u.select("vec_id", "embedding",
+                  F.explode(bands_arr).alias("bs"))
+         .select("vec_id", "embedding",
+                 F.col("bs.band").alias("band"),
+                 F.col("bs.sig").alias("sig")))
+    lhs, rhs = b.alias("l"), b.alias("r")
+    ecos = _cosine(_dbl(F.col("l.embedding")), _dbl(F.col("r.embedding")))
+    return (lhs.join(rhs, (F.col("l.band") == F.col("r.band")) &
+                          (F.col("l.sig") == F.col("r.sig")) &
+                          (F.col("l.vec_id") < F.col("r.vec_id")))
+            .select(F.col("l.vec_id").alias("v1"),
+                    F.col("r.vec_id").alias("v2"),
+                    micro(ecos).alias("cos_micro"))
+            .filter(F.col("cos_micro") >=
+                    int(NEAR_DUP_THRESHOLD * 1e6))
+            .distinct()
+            .orderBy("v1", "v2"))
+
+
 def ann_ivf(spark, sf_dir) -> DataFrame:
     """IVF probe: nearest centroid by broadcast cross-join → broadcast
     the winning cluster id → in-cluster exact top-10. Same schema as
