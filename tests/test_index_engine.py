@@ -217,3 +217,29 @@ def test_hot_term_skew(spark, tmp_path):
                       "k": [5]})
     res = IndexReader(spark, root).search(q).toPandas()
     assert len(res) == 5 and (res["score"] > 0).all()
+
+
+def test_index_docmap_text_roundtrip(spark, index_dir, transcripts_df):
+    """input_hint per-row invariant through the ENGINE's build: the
+    index docmap joins back to the source with per-turn text equality
+    under stable (conv_id, turn_idx) ordering, doc_id is the exact
+    dense rank, and doclen matches the frozen analyzer on the
+    original text."""
+    from embedanything_spark.analyzer import tokenize
+
+    docmap = spark.read.parquet(*table_paths(index_dir, "docmap"))
+    joined = (docmap.join(transcripts_df, ["conv_id", "turn_idx"])
+              .orderBy("doc_id")
+              .select("doc_id", "conv_id", "turn_idx", "doclen", "text")
+              .toPandas())
+    src = (transcripts_df.select("conv_id", "turn_idx", "text")
+           .toPandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    assert len(joined) == len(src)                       # bijection
+    assert (joined["doc_id"].to_numpy() ==
+            np.arange(len(src))).all()                   # dense rank
+    assert (joined["conv_id"].to_numpy() == src["conv_id"].to_numpy()).all()
+    assert (joined["turn_idx"].to_numpy() == src["turn_idx"].to_numpy()).all()
+    assert (joined["text"].to_numpy() == src["text"].to_numpy()).all()
+    assert (joined["doclen"].to_numpy() ==
+            src["text"].map(lambda t: len(tokenize(t))).to_numpy()).all()
