@@ -363,6 +363,10 @@ class IndexWriter:
         summ = (convs.mapInPandas(
             summarize, schema="first_conv string, turns long")
             .toPandas().sort_values("first_conv"))
+        if summ.empty:
+            convs.unpersist()
+            raise ValueError(
+                "empty transcripts input: nothing to index (0 convs)")
         total = int(summ["turns"].sum())
         n_buckets = max(base, -(-total // DOCS_PER_PARTITION))
         bsize = max(1, -(-total // n_buckets))

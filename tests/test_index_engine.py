@@ -243,3 +243,11 @@ def test_index_docmap_text_roundtrip(spark, index_dir, transcripts_df):
     assert (joined["text"].to_numpy() == src["text"].to_numpy()).all()
     assert (joined["doclen"].to_numpy() ==
             src["text"].map(lambda t: len(tokenize(t))).to_numpy()).all()
+
+
+def test_empty_input_raises(spark, tmp_path):
+    t = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+    with pytest.raises(ValueError, match="empty transcripts"):
+        IndexWriter(str(tmp_path / "e")).build(t)
