@@ -61,6 +61,10 @@ def main(argv=None):
                    help="cross-encoder rerank stage (reference query "
                         "path step 3); needs the transcripts parquet "
                         "for pair text")
+    q.add_argument("--asof", metavar="BATCH_ID",
+                   help="time-travel: query the index as of a "
+                        "committed batch (snapshot read on the "
+                        "lineage manifest)")
 
     args = p.parse_args(argv)
     from embedanything_spark.session import get_spark
@@ -111,7 +115,7 @@ def main(argv=None):
                 "query_id": range(len(args.query)),
                 "query_text": args.query,
                 "k": [args.k] * len(args.query)})
-            res = IndexReader(spark, args.index).search(
+            res = IndexReader(spark, args.index, asof=args.asof).search(
                 qp, prune=not args.no_prune)
             if args.rerank:
                 from embedanything_spark.index.rerank import rerank

@@ -276,15 +276,27 @@ _TABLE_KIND = {"docmap": "doc", "postings": "block",
                "partitions": "part"}
 
 
-def table_paths(root: str | Path, table: str) -> list[str]:
+def table_paths(root: str | Path, table: str,
+                asof: str | None = None) -> list[str]:
     """Parquet dirs of COMMITTED batches only — a reader never sees a
     half-written batch (snapshot-read semantics; with an Iceberg catalog
     this is the table's current snapshot). Both logical tables live in
-    one kind-partitioned batch dir (written in a single job)."""
+    one kind-partitioned batch dir (written in a single job).
+
+    ``asof`` = a committed batch_id: restrict to batches up to and
+    including it, in commit order — the manifest's TIME-TRAVEL read
+    (Iceberg snapshot-as-of semantics on the lineage log)."""
     kind = _TABLE_KIND[table]
+    lineage = committed_lineage(root)
+    if asof is not None:
+        ids = [ln["batch_id"] for ln in lineage]
+        if asof not in ids:
+            raise ValueError(
+                f"unknown snapshot {asof!r}: committed batches = {ids}")
+        lineage = lineage[:ids.index(asof) + 1]
     return [str(Path(root) / "data" / f"batch-{ln['batch_id']}"
                 / f"kind={kind}")
-            for ln in committed_lineage(root)]
+            for ln in lineage]
 
 
 class IndexWriter:

@@ -140,9 +140,18 @@ def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
 
 
 class IndexReader:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 asof: str | None = None):
+        """``asof`` = a committed batch_id → TIME-TRAVEL read: the
+        reader sees only batches up to that snapshot. Corpus stats are
+        recomputed for the snapshot (n_docs from the lineage manifest;
+        avgdl from a metadata-only Σsum_tf over the included posting
+        blocks) so scoring AND the WAND bounds are exactly the
+        snapshot's — results are identical to an index that had only
+        those batches."""
         self.spark = spark
         self.root = Path(root)
+        self.asof = asof
         meta_path = self.root / "_meta/meta.json"
         if not meta_path.exists():
             raise FileNotFoundError(
@@ -155,6 +164,23 @@ class IndexReader:
             raise ValueError(
                 f"index built with analyzer v{self.meta['analyzer_version']}"
                 f" but runtime is v{ANALYZER_VERSION} — rebuild required")
+        if asof is not None:
+            from embedanything_spark.index.build import committed_lineage
+            lineage = committed_lineage(self.root)
+            ids = [ln["batch_id"] for ln in lineage]
+            upto = lineage[:ids.index(asof) + 1] if asof in ids else None
+            if upto is None:
+                raise ValueError(
+                    f"unknown snapshot {asof!r}: committed = {ids}")
+            n_docs = sum(ln["n_docs"] for ln in upto)
+            tok = (spark.read
+                   .parquet(*table_paths(self.root, "postings", asof))
+                   .agg(F.sum("sum_tf").alias("t")).collect()[0]["t"])
+            self.meta = dict(self.meta,
+                             n_docs=int(n_docs),
+                             total_tokens=int(tok or 0),
+                             avgdl=(int(tok or 0) / n_docs) if n_docs
+                             else 0.0)
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame(
@@ -177,14 +203,26 @@ class IndexReader:
 
         # dictionary df rides along via a broadcast join (term-sorted
         # dictionary files → row-group pruned scan); unseen terms simply
-        # join away — ONE Spark job end-to-end
-        dictf = (self.spark.read.parquet(str(self.root / "dictionary"))
-                 .filter(F.col("term").isin(sorted(all_terms)))
-                 .select("term", "df"))
+        # join away — ONE Spark job end-to-end. Time-travel reads
+        # derive df from the included batches' block metadata instead
+        # of the (global) finalized dictionary — still term-pushed and
+        # tiny, same single-job plan.
+        if self.asof is None:
+            dictf = (self.spark.read
+                     .parquet(str(self.root / "dictionary"))
+                     .filter(F.col("term").isin(sorted(all_terms)))
+                     .select("term", "df"))
+        else:
+            dictf = (self.spark.read
+                     .parquet(*table_paths(self.root, "postings",
+                                           self.asof))
+                     .filter(F.col("term").isin(sorted(all_terms)))
+                     .groupBy("term").agg(F.sum("n").alias("df")))
         n_buckets = num_buckets or \
             self.spark.sparkContext.defaultParallelism
         blocks = (self.spark.read
-                  .parquet(*table_paths(self.root, "postings"))
+                  .parquet(*table_paths(self.root, "postings",
+                                        self.asof))
                   .filter(F.col("term").isin(sorted(all_terms)))
                   .join(F.broadcast(dictf), "term")
                   .repartition(n_buckets, "range_id"))
@@ -196,7 +234,8 @@ class IndexReader:
             F.desc("score"), F.asc("doc_id"))
         kmap = F.create_map(*[x for qid, q in qinfo.items()
                               for x in (F.lit(qid), F.lit(q["k"]))])
-        docmap = self.spark.read.parquet(*table_paths(self.root, "docmap"))
+        docmap = self.spark.read.parquet(
+            *table_paths(self.root, "docmap", self.asof))
         ranked = (cands
                   .withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= kmap[F.col("query_id")]))

@@ -251,3 +251,38 @@ def test_empty_input_raises(spark, tmp_path):
             "tool string, ts timestamp")
     with pytest.raises(ValueError, match="empty transcripts"):
         IndexWriter(str(tmp_path / "e")).build(t)
+
+
+def test_time_travel_read(spark, tmp_path, queries_pdf):
+    """Snapshot-as-of semantics on the lineage manifest: querying a
+    3-batch index AS OF batch 2 is rank- and score-identical to an
+    index built from only the first two batches' data (df, n_docs and
+    avgdl all recomputed for the snapshot)."""
+    from embedanything_spark.datagen import gen_transcripts_df
+
+    t = gen_transcripts_df(spark, 45)
+    convs = sorted(r["conv_id"] for r in
+                   t.select("conv_id").distinct().collect())
+    root = str(tmp_path / "tt")
+    CheckpointedIndexBuilder(
+        IndexWriter(root, block_range=64, num_partitions=2),
+        n_batches=3).run(t)
+    lineage = committed_lineage(root)
+    assert len(lineage) == 3
+    cut = lineage[1]  # as of the second committed batch
+    q = queries_pdf.head(8)
+    asof = IndexReader(spark, root, asof=cut["batch_id"]).search(q) \
+        .toPandas()
+
+    # reference: index over only the first two batches' conv range
+    bounds = __import__("json").loads(
+        (tmp_path / "tt" / "_meta" / "plan.json").read_text())["bounds"]
+    first_two = t.filter(f"conv_id < '{bounds[1]}'")
+    root2 = str(tmp_path / "tt2")
+    IndexWriter(root2, block_range=64, num_partitions=2).build(first_two)
+    want = IndexReader(spark, root2).search(q).toPandas()
+    pd.testing.assert_frame_equal(asof.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    assert convs  # sanity: corpus non-trivial
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        IndexReader(spark, root, asof="nope")
