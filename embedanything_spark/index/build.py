@@ -591,21 +591,55 @@ class IndexWriter:
         self.finalize(spark)
         return lineage
 
-    def finalize(self, spark: SparkSession) -> dict:
+    def finalize(self, spark: SparkSession,
+                 add_batches: list[str] | None = None) -> dict:
         """Segment merge → global dictionary + corpus meta. Idempotent;
         re-run after resume. Reads block METADATA only (parquet column
         pruning skips the byte payloads). groupBy(term) gets map-side
         partial aggregation; range_id already salted the hot terms
         across input partitions, so no reducer sees a whole head term.
-        """
+
+        ``add_batches``: INCREMENTAL maintenance — fold only those
+        batches' block metadata into the existing dictionary instead of
+        re-aggregating the whole corpus (O(new batch), the append path
+        streaming ingest uses per micro-batch; a full rebuild at 100 TB
+        per micro-batch would be the classic scale trap). The merged
+        dictionary is staged to a fresh dir and swapped in; a crash
+        between swap steps is healed by the next (idempotent full)
+        finalize."""
+        import shutil
+
         parts = self._parts(spark)
-        postings = spark.read.parquet(*table_paths(self.root, "postings"))
-        (postings.groupBy("term")
-                 .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-                 .repartitionByRange(max(1, parts // 4), "term")
-                 .sortWithinPartitions("term")
-                 .write.mode("overwrite")
-                 .parquet(str(self.root / "dictionary")))
+        dict_dir = self.root / "dictionary"
+        if add_batches and dict_dir.exists() and \
+                (self.root / "_meta/meta.json").exists():
+            add_paths = [str(self.root / "data" / f"batch-{b}"
+                             / "kind=block") for b in add_batches]
+            add = (spark.read.parquet(*add_paths)
+                   .groupBy("term")
+                   .agg(F.sum("n").alias("df"),
+                        F.sum("sum_tf").alias("cf")))
+            merged = (spark.read.parquet(str(dict_dir))
+                      .unionByName(add)
+                      .groupBy("term")
+                      .agg(F.sum("df").alias("df"),
+                           F.sum("cf").alias("cf")))
+            staging = self.root / f"_dict_staging-{uuid.uuid4().hex[:8]}"
+            (merged.repartitionByRange(max(1, parts // 4), "term")
+                   .sortWithinPartitions("term")
+                   .write.mode("overwrite").parquet(str(staging)))
+            shutil.rmtree(dict_dir)
+            staging.rename(dict_dir)
+        else:
+            postings = spark.read.parquet(
+                *table_paths(self.root, "postings"))
+            (postings.groupBy("term")
+                     .agg(F.sum("n").alias("df"),
+                          F.sum("sum_tf").alias("cf"))
+                     .repartitionByRange(max(1, parts // 4), "term")
+                     .sortWithinPartitions("term")
+                     .write.mode("overwrite")
+                     .parquet(str(dict_dir)))
 
         # corpus stats without another docmap scan: n_docs from the
         # lineage manifest (footer-exact per committed batch),

@@ -45,9 +45,15 @@ class StreamingIndexIngest:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        self.writer.build(batch_df, batch_id=f"stream-{batch_id:06d}",
-                          doc_id_offset=self._offset(),
-                          finalize=self.finalize_each_batch)
+        bid = f"stream-{batch_id:06d}"
+        self.writer.build(batch_df, batch_id=bid,
+                          doc_id_offset=self._offset(), finalize=False)
+        if self.finalize_each_batch:
+            # INCREMENTAL dictionary maintenance: fold only this
+            # micro-batch's block metadata into the dictionary —
+            # O(batch), not O(corpus), per micro-batch
+            self.writer.finalize(batch_df.sparkSession,
+                                 add_batches=[bid])
 
     def start(self, spark: SparkSession, source_dir: str,
               checkpoint_dir: str, trigger_once: bool = True):

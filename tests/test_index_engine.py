@@ -286,3 +286,31 @@ def test_time_travel_read(spark, tmp_path, queries_pdf):
     assert convs  # sanity: corpus non-trivial
     with pytest.raises(ValueError, match="unknown snapshot"):
         IndexReader(spark, root, asof="nope")
+
+
+def test_incremental_finalize(spark, tmp_path):
+    """finalize(add_batches=[...]) folds only the new batches into the
+    dictionary — result identical to a full re-aggregation (df/cf and
+    meta n_docs/avgdl/total_tokens all match)."""
+    from pyspark.sql import functions as F
+
+    from embedanything_spark.datagen import gen_transcripts_df
+
+    t = gen_transcripts_df(spark, 30)
+    a = t.filter("conv_id < 'conv-00000015'")
+    b = t.filter("conv_id >= 'conv-00000015'")
+    root = str(tmp_path / "inc")
+    w = IndexWriter(root, block_range=64, num_partitions=2)
+    w.build(a, batch_id="a")                       # full finalize
+    off = committed_lineage(root)[0]["n_docs"]
+    w.build(b, batch_id="b", doc_id_offset=off, finalize=False)
+    meta_inc = w.finalize(spark, add_batches=["b"])  # incremental
+    d_inc = (spark.read.parquet(f"{root}/dictionary").toPandas()
+             .sort_values("term").reset_index(drop=True))
+
+    meta_full = w.finalize(spark)                   # full rebuild
+    d_full = (spark.read.parquet(f"{root}/dictionary").toPandas()
+              .sort_values("term").reset_index(drop=True))
+    pd.testing.assert_frame_equal(d_inc, d_full)
+    for k in ("n_docs", "avgdl", "total_tokens"):
+        assert meta_inc[k] == meta_full[k]
