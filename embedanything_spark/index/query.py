@@ -94,10 +94,12 @@ def _merge_topk(best_doc, best_score, doc, score, k):
 
 
 def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
-                             prune: bool):
+                             prune: bool, decode_acc=None):
     """qinfo: {query_id: {"k": int, "terms": [term, ...]}}. Each block
     row arrives with its term's global df (broadcast dictionary join),
-    so idf is computed here — no separate dictionary round-trip."""
+    so idf is computed here — no separate dictionary round-trip.
+    ``decode_acc``: optional Spark accumulator counting DECODED ranges
+    (pruning-effectiveness instrumentation)."""
 
     def score_partition(batches):
         chunks = [c for c in batches if len(c)]
@@ -126,6 +128,8 @@ def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
             for rid, rub in range_order.items():
                 if prune and len(best_doc) == k and rub < best_score[-1]:
                     break  # strict: ties at the k-th score still scored
+                if decode_acc is not None:
+                    decode_acc.add(1)
                 doc, score = _decode_contribs(by_range[rid],
                                               idf_by_term, avgdl)
                 best_doc, best_score = _merge_topk(
@@ -188,7 +192,8 @@ class IndexReader:
                 "turn_idx int, score double")
 
     def search(self, queries: pd.DataFrame, prune: bool = True,
-               num_buckets: int | None = None) -> DataFrame:
+               num_buckets: int | None = None,
+               decode_acc=None) -> DataFrame:
         """queries: pandas (query_id, query_text, k) →
         DataFrame (query_id, rank, doc_id, conv_id, turn_idx, score)."""
         qinfo = {}
@@ -228,7 +233,8 @@ class IndexReader:
                   .repartition(n_buckets, "range_id"))
         cands = blocks.mapInPandas(
             _score_partition_factory(qinfo, self.meta["n_docs"],
-                                     self.meta["avgdl"], prune),
+                                     self.meta["avgdl"], prune,
+                                     decode_acc),
             schema=_CAND_SCHEMA)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id"))

@@ -314,3 +314,40 @@ def test_incremental_finalize(spark, tmp_path):
     pd.testing.assert_frame_equal(d_inc, d_full)
     for k in ("n_docs", "avgdl", "total_tokens"):
         assert meta_inc[k] == meta_full[k]
+
+
+def test_wand_pruning_skips_ranges(spark, tmp_path, transcripts_pdf):
+    """Pruning EFFECTIVENESS (not just exactness), measured with a
+    decode-count accumulator. The synthetic corpus has flat tf (Zipf
+    vocab but 1-3 occurrences per doc) so block-max bounds barely
+    separate; plant ONE high-tf doc — the realistic skew block-max
+    exploits — and a k=1 query must score its range first and skip
+    nearly everything else."""
+    import pandas as pd
+
+    skew = pd.DataFrame([{
+        "conv_id": "conv-zz-skew", "turn_idx": 0, "role": "user",
+        "text": " ".join(["term00000"] * 60), "tool": None,
+        "ts": pd.Timestamp("2026-01-01")}])
+    t = spark.createDataFrame(pd.concat([transcripts_pdf, skew],
+                                        ignore_index=True))
+    root = str(tmp_path / "wand_eff")
+    IndexWriter(root, block_range=64, num_partitions=2).build(t)
+    r = IndexReader(spark, root)
+    q = pd.DataFrame({"query_id": [0], "query_text": ["term00000"],
+                      "k": [1]})
+    a1 = spark.sparkContext.accumulator(0)
+    got = r.search(q, prune=True, decode_acc=a1, num_buckets=2) \
+        .toPandas()
+    assert got.iloc[0]["conv_id"] == "conv-zz-skew"  # skew doc wins
+    a2 = spark.sparkContext.accumulator(0)
+    r.search(q, prune=False, decode_acc=a2, num_buckets=2).collect()
+    assert 0 < a1.value < a2.value
+    skip_rate = 1 - a1.value / a2.value
+    # ~1/3 of ranges skipped here: the (max_tf, min_dl) bound saturates
+    # near idf*(k1+1) for ranges containing short docs, so single-term
+    # pruning can never beat those ranges' bounds — the skip rate is
+    # bounded by corpus shape, not implementation. Exactness is the
+    # hard property (test_pruned_equals_unpruned); this asserts the
+    # mechanism actually fires.
+    assert skip_rate > 0.2, f"pruning skipped only {skip_rate:.1%}"
