@@ -397,11 +397,15 @@ def oracle_sql() -> dict[str, str]:
             "dl AS (SELECT d.doc_id, coalesce(c.cnt,0)::BIGINT AS doclen "
             " FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS cnt "
             " FROM toks WHERE term <> '' GROUP BY doc_id) c USING(doc_id)), "
+            # each retriever contributes a TOP-50 prefetch list (the
+            # reference fuses bounded prefetch lists), mirroring the
+            # Spark side's distributed top-k-then-rank
             "r1 AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars "
             " DESC, doc_id) AS r FROM documents), "
             "r2 AS (SELECT doc_id, row_number() OVER (ORDER BY doclen "
             " DESC, doc_id) AS r FROM dl), "
-            "u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2) "
+            "u AS (SELECT * FROM r1 WHERE r <= 50 "
+            " UNION ALL SELECT * FROM r2 WHERE r <= 50) "
             "SELECT doc_id, CAST(ROUND(sum(1.0/(60.0 + r))*1e6) AS BIGINT) "
             "AS rrf_micro FROM u GROUP BY doc_id "
             "ORDER BY rrf_micro DESC, doc_id LIMIT 15",

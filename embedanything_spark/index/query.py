@@ -11,7 +11,10 @@ Distributed plan:
       is partition-local
     → mapInPandas: per-partition block-max sweep (below) emitting ≤ k
       candidates per query per partition
-    → global top-k: row_number window over 50 query groups + docmap join.
+    → global top-k: row_number window over 50 query groups
+    → docmap fetch with the surviving doc_ids pushed into the scan
+      (In + min/max range filters; docmap files are doc_id-ordered so
+      row-group pruning reads O(Σk), not O(corpus)).
 
 Block-max pruning (the engine's one genuinely novel operator —
 SURVEY.md §4 item 4): within a partition, per query, ranges are
@@ -240,13 +243,29 @@ class IndexReader:
             F.desc("score"), F.asc("doc_id"))
         kmap = F.create_map(*[x for qid, q in qinfo.items()
                               for x in (F.lit(qid), F.lit(q["k"]))])
-        docmap = self.spark.read.parquet(
-            *table_paths(self.root, "docmap", self.asof))
         ranked = (cands
                   .withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= kmap[F.col("query_id")]))
-        # ranked is ≤ Σk rows but its stats are opaque (Python stage) —
-        # broadcast it so the docmap join never shuffles the big side
-        return (docmap.join(F.broadcast(ranked), "doc_id")
+        # The final docmap fetch must NOT scan the corpus: ranked is
+        # ≤ Σk rows, so materialize it (one scoring job — the ids are
+        # needed before the fetch plan can be pruned) and push the
+        # surviving doc_ids into the docmap read as In + min/max range
+        # filters. docmap files are written in doc_id order, so parquet
+        # row-group min/max pruning skips everything but the few row
+        # groups holding the hits — the fetch reads O(Σk), not O(corpus)
+        # (the reference's id-keyed corpus fetch,
+        # examples/SearchAgent/SearchR1/lance_retrieval.py:123-166).
+        ranked_pdf = ranked.toPandas()
+        if ranked_pdf.empty:
+            return self._empty()
+        ids = sorted(ranked_pdf["doc_id"].unique().tolist())
+        ranked_small = self.spark.createDataFrame(
+            ranked_pdf, schema="query_id int, doc_id long, score double, "
+                               "rank int")
+        docmap = (self.spark.read
+                  .parquet(*table_paths(self.root, "docmap", self.asof))
+                  .filter(F.col("doc_id").between(ids[0], ids[-1]) &
+                          F.col("doc_id").isin(ids)))
+        return (docmap.join(F.broadcast(ranked_small), "doc_id")
                 .select(*_RESULT_COLS)
                 .orderBy("query_id", "rank"))

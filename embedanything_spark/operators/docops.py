@@ -48,6 +48,42 @@ def hash12(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
+def rank_small(df: DataFrame, val_col: str, id_col: str,
+               col: str = "r") -> DataFrame:
+    """Rank a BOUNDED relation (≤ k rows, post-top-k) on
+    (val_col DESC, id_col ASC) WITHOUT a window: fold the rows into one
+    sorted array (a global agg whose partial aggregation is map-side;
+    the final reduce holds ≤ k structs by construction) and posexplode
+    with the position as the rank. A zero-key row_number window would
+    plan the same single-partition placement but via WindowExec, which
+    (rightly) flags it as a scale hazard at ANY input size — this shape
+    is explicit about the bound instead. Never call on an unbounded
+    relation; (val_col, id_col) must be a total order."""
+    cols = df.columns
+    arr = df.agg(F.sort_array(F.collect_list(F.struct(
+        (-F.col(val_col)).alias("_negv"),
+        F.col(id_col).alias("_id"),
+        F.struct(*cols).alias("_row")))).alias("a"))
+    return (arr.select(F.posexplode("a").alias("_pos", "_s"))
+            .select("_s._row.*",
+                    (F.col("_pos") + 1).cast("int").alias(col)))
+
+
+def topk_ranked(df: DataFrame, val_col: str, id_col: str,
+                k: int) -> DataFrame:
+    """Distributed top-k THEN rank: orderBy().limit(k) plans as
+    TakeOrderedAndProject (per-partition heap + driver merge — nothing
+    corpus-proportional ever moves to one partition), and only the ≤k
+    survivors get a rank. This replaces the 100×-fatal
+    rank-everything-then-filter shape (a global unpartitioned window
+    pulls ALL rows into a single task). Ordering is
+    (val_col DESC, id_col ASC) — a total order, so the rank boundary
+    is deterministic. Reference analogue: Qdrant-side top-k prefetch
+    before fusion (examples/hybridsearch.py:64-77)."""
+    top = df.orderBy(F.desc(val_col), F.asc(id_col)).limit(k)
+    return rank_small(top, val_col, id_col)
+
+
 # ---------- BM25 family (S1/E2/A6/J1/T2 in SURVEY.md §2) ----------
 
 def term_tf(spark, sf_dir):
@@ -144,14 +180,13 @@ def bm25_topk_indexed(spark, sf_dir):
                       "query_text": [" ".join(DOC_QUERY_TERMS)],
                       "k": [20 + 32]})
     res = IndexReader(spark, str(root)).search(q, prune=True)
-    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    # res is ≤ k+32 rows by construction (engine top-k); the final cut
+    # to 20 on micro-rounded scores is a plain distributed top-k
     return (res
             .select(F.col("conv_id").cast("long").alias("doc_id"),
                     micro(F.col("score")).alias("score_micro"))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= 20)
-            .drop("rnk")
-            .orderBy(F.desc("score_micro"), F.asc("doc_id")))
+            .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+            .limit(20))
 
 
 def incremental_antijoin(spark, sf_dir):
@@ -182,21 +217,18 @@ def hybrid_rrf(spark, sf_dir):
     deterministic across engines."""
     from embedanything_spark.operators.similarity import (
         QUERY_VEC_ID, _cosine, _dbl, query_vec_df)
-    sparse = (_bm25_scores(spark, sf_dir)
-              .select("doc_id", F.row_number().over(
-                  Window.orderBy(F.desc("score_micro"), F.asc("doc_id")))
-                  .alias("r"))
-              .filter(F.col("r") <= 50))
+    sparse = topk_ranked(_bm25_scores(spark, sf_dir),
+                         "score_micro", "doc_id", 50) \
+        .select("doc_id", "r")
     emb = load(spark, sf_dir, "embeddings")
     e = _dbl(F.col("embedding"))
-    dense = (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-             .crossJoin(F.broadcast(query_vec_df(spark, sf_dir)))
-             .select(F.col("vec_id").alias("doc_id"),
-                     micro(_cosine(e, F.col("qv"))).alias("cos_micro"))
-             .select("doc_id", F.row_number().over(
-                 Window.orderBy(F.desc("cos_micro"), F.asc("doc_id")))
-                 .alias("r"))
-             .filter(F.col("r") <= 50))
+    dense_scored = (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+                    .crossJoin(F.broadcast(query_vec_df(spark, sf_dir)))
+                    .select(F.col("vec_id").alias("doc_id"),
+                            micro(_cosine(e, F.col("qv")))
+                            .alias("cos_micro")))
+    dense = topk_ranked(dense_scored, "cos_micro", "doc_id", 50) \
+        .select("doc_id", "r")
     u = sparse.unionByName(dense)
     return (u.groupBy("doc_id")
             .agg(F.sum(F.lit(1.0) / (F.lit(60.0) + F.col("r")))
@@ -233,24 +265,28 @@ def rerank_topk(spark, sf_dir):
 
     scored = top.mapInPandas(
         score, schema="doc_id long, score_micro long, rerank_score double")
-    w = Window.orderBy(F.desc("rerank_micro"), F.asc("doc_id"))
-    return (scored
-            .withColumn("rerank_micro", micro(F.col("rerank_score")))
-            .select("doc_id", "score_micro", "rerank_micro")
-            .withColumn("rank", F.row_number().over(w).cast("long"))
+    # scored is the BM25 top-20 (≤ 20 rows) — rank_small, not a global
+    # window
+    ranked = rank_small(
+        scored.withColumn("rerank_micro", micro(F.col("rerank_score")))
+              .select("doc_id", "score_micro", "rerank_micro"),
+        "rerank_micro", "doc_id", col="rank")
+    return (ranked.withColumn("rank", F.col("rank").cast("long"))
             .orderBy("rank"))
 
 
 def rrf_fusion(spark, sf_dir):
-    """J3: reciprocal-rank fusion of two rankings (by n_chars, by
-    token count), RRF k=60 — hybridsearch.py:64-77 re-expressed."""
+    """J3: reciprocal-rank fusion of two top-50 prefetch rankings (by
+    n_chars, by token count), RRF k=60 — hybridsearch.py:64-77
+    re-expressed. Each retriever contributes a TOP-50 prefetch list
+    (the reference fuses bounded prefetch lists, not full corpus
+    rankings) via distributed top-k — no global window ranks the whole
+    table."""
     docs = load(spark, sf_dir, "documents")
-    r1 = docs.select(
-        "doc_id", F.row_number().over(
-            Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))).alias("r"))
-    r2 = doc_stats(spark, sf_dir).select(
-        "doc_id", F.row_number().over(
-            Window.orderBy(F.desc("doclen"), F.asc("doc_id"))).alias("r"))
+    r1 = topk_ranked(docs.select("doc_id", "n_chars"),
+                     "n_chars", "doc_id", 50).select("doc_id", "r")
+    r2 = topk_ranked(doc_stats(spark, sf_dir),
+                     "doclen", "doc_id", 50).select("doc_id", "r")
     u = r1.unionByName(r2)
     return (u.groupBy("doc_id")
             .agg(F.sum(F.lit(1.0) / (F.lit(60.0) + F.col("r")))
