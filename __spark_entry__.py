@@ -12,9 +12,10 @@ queries()   — one entry per implemented operator family (SURVEY.md §2):
               + MaxSim), text analysis, event windows/sessionization,
               multimodal plumbing, and the transcripts posting-list
               engine end-to-end (transcripts_bm25_wand).
-oracle_sql()— exact DuckDB equivalents for 39 of the 40 entries
-              (multimodal_near_dup stays rows-only: its kernel is a
-              numpy-RNG stub). Floats are exported as micro-rounded
+oracle_sql()— exact DuckDB equivalents for EVERY entry (the stub
+              decode kernels are sha256-derived, so even the
+              multimodal embeddings are independently recomputable in
+              SQL). Floats are exported as micro-rounded
               BIGINTs on BOTH sides so value hashes are immune to
               last-ulp noise; every computed column is aliased
               identically in Spark and SQL. Entries that need inputs
@@ -147,9 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time semantics (streaming analogs)
         "event_tumbling_window": events.event_tumbling_window,
         "event_sessionize": events.event_sessionize,
-        # multimodal plumbing (stubbed decode kernel): features'
-        # metadata is DuckDB-oracle-checked against the persisted
-        # payloads; near-dup stays rows-only (embedding RNG kernel)
+        # multimodal plumbing (stubbed decode kernel): metadata AND
+        # hash-derived embeddings are DuckDB-oracle-checked against
+        # the persisted payloads
         "multimodal_features": _multimodal_features,
         "multimodal_near_dup": _multimodal_near_dup,
         # the engine itself (DuckDB-oracle-checked: full BM25 over the
@@ -166,8 +167,9 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic metadata (width/height from the payload hash,
     n_frames from the video sampling rule): the synthetic assets are
     persisted so oracle_sql() recomputes the same columns in SQL. The
-    embedding column stays rows-only (numpy RNG, not SQL-expressible)
-    and is asserted deterministic in tests/."""
+    embedding column is dropped here (it is oracle-checked end-to-end
+    by multimodal_near_dup, whose SQL recomputes the sha256-derived
+    embedding from the same payloads)."""
     import shutil
 
     from embedanything_spark.operators.multimodal import (extract_features,
@@ -183,17 +185,33 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH near-dup over stub-decoded media embeddings,
+    now DuckDB-oracle-checked end-to-end: the assets are persisted and
+    the stub embedding is sha256-derived (not RNG), so the oracle
+    recomputes embeddings, band signatures (same hyperplane literals)
+    and cosine entirely in SQL. Copies (exact-duplicate payloads under
+    new paths) are planted deterministically: asset ids 0-4."""
+    import shutil
+
     from pyspark.sql import functions as F
 
     from embedanything_spark.operators.multimodal import (
         extract_features, near_dup_by_embedding, synth_assets)
     from embedanything_spark.session import package_zip
     spark.sparkContext.addPyFile(package_zip())
-    feats = extract_features(synth_assets(spark, 60))
-    dups = feats.limit(5).withColumn(
-        "path", F.concat(F.col("path"), F.lit("__copy")))
-    return (near_dup_by_embedding(feats.union(dups), threshold=0.99)
-            .select("p1", "p2"))
+    root = Path(_MM_ORACLE_DIR)
+    shutil.rmtree(root / "nd_assets", ignore_errors=True)
+    synth_assets(spark, 60).write.mode("overwrite").parquet(
+        str(root / "nd_assets"))
+    assets = spark.read.parquet(str(root / "nd_assets"))
+    copies = (assets
+              .filter(F.regexp_extract("path", r"(\d{6})\.bin$", 1)
+                      .cast("int") < 5)
+              .withColumn("path", F.concat(F.col("path"),
+                                           F.lit("__copy"))))
+    feats = extract_features(assets.unionByName(copies))
+    return (near_dup_by_embedding(feats, threshold=0.99)
+            .select("p1", "p2").orderBy("p1", "p2"))
 
 
 _TOKS = ("SELECT doc_id, unnest(string_split(lower(text),' ')) AS term "
@@ -323,10 +341,54 @@ def _near_dup_sql() -> str:
         f"{int(NEAR_DUP_THRESHOLD * 1e6)} ORDER BY v1, v2")
 
 
+def _mm_near_dup_sql() -> str:
+    """Code-generated oracle for multimodal near-dup: recompute the
+    stub-decode embedding from the persisted payloads (sha256-derived
+    components, unnormalized doubles — normalization is a positive
+    scale so sign bits and cosine are unaffected), band with the SAME
+    hyperplane literals as the Spark plan, join on full-band matches,
+    cosine-filter, emit pairs."""
+    from embedanything_spark.operators.multimodal import (
+        EMBED_DIM, N_BANDS, N_PLANES, mm_planes)
+    planes = mm_planes()
+    comps = ", ".join(
+        f"(CAST(('0x' || substr(sha256(hx || '-{d}'),1,8)) AS BIGINT) "
+        f"% 1000000)/1000000.0 - 0.5 AS e{d}"
+        for d in range(EMBED_DIM))
+    emb = "[" + ", ".join(f"e{d}" for d in range(EMBED_DIM)) + "]"
+    signs = ", ".join(
+        "CASE WHEN (" + " + ".join(
+            f"e{i}*({float(v)!r})" for i, v in enumerate(p)) +
+        f") >= 0 THEN '1' ELSE '0' END AS s{j}"
+        for j, p in enumerate(planes))
+    per = N_PLANES // N_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT path, emb, {b} AS band, " +
+        "||".join(f"s{b * per + k}" for k in range(per)) +
+        " AS sig FROM v" for b in range(N_BANDS))
+    return (
+        "WITH a AS (SELECT path, content FROM "
+        f"read_parquet('{_MM_ORACLE_DIR}/nd_assets/*.parquet')), "
+        "u AS (SELECT path, content FROM a UNION ALL "
+        " SELECT path || '__copy', content FROM a "
+        " WHERE CAST(regexp_extract(path, '(\\d{6})\\.bin$', 1) AS "
+        " INTEGER) < 5), "
+        "h AS (SELECT path, sha256(lower(hex(content))) AS hx FROM u), "
+        f"e AS (SELECT path, {comps} FROM h), "
+        f"v AS (SELECT path, {emb} AS emb, {signs} FROM e), "
+        f"bands AS ({band_rows}) "
+        "SELECT DISTINCT a.path AS p1, b.path AS p2 "
+        "FROM bands a JOIN bands b ON a.band = b.band AND "
+        "a.sig = b.sig AND a.path < b.path "
+        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99 "
+        "ORDER BY p1, p2")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcripts_bm25_wand": _WAND_SQL,
         "near_dup_embeddings": _near_dup_sql(),
+        "multimodal_near_dup": _mm_near_dup_sql(),
 
         "term_tf": f"{_TF} SELECT doc_id, term, tf FROM tf",
 

@@ -460,28 +460,34 @@ def dedup_simhash(spark, sf_dir):
     """64-bit SimHash per doc from md5 bits of tokens (tf-weighted),
     emitted as two 32-bit halves (hi/lo) so neither engine's signed
     BIGINT overflows. 16 bits collide massively at 10^12 docs; 64 is
-    the standard width (Charikar/Google near-dup)."""
+    the standard width (Charikar/Google near-dup).
+
+    Plan shape: the 64 per-bit votes are 64 NARROW sum columns over
+    one row per (doc, term) — map-side partial aggregation combines
+    them before the shuffle, so exactly one 64-column row per doc
+    moves, and the token stream is never multiplied (the previous
+    shape exploded 64 bit-rows per (doc, term): a 64× CPU/row blowup
+    ahead of the partial agg)."""
     tf = (term_tf(spark, sf_dir)
           .withColumn("h_lo", F.conv(F.substring(F.md5("term"), 1, 8),
                                      16, 10).cast("long"))
           .withColumn("h_hi", F.conv(F.substring(F.md5("term"), 9, 8),
                                      16, 10).cast("long")))
-    bits = tf.select("doc_id", "tf", "h_lo", "h_hi",
-                     F.explode(F.sequence(F.lit(0), F.lit(63)))
-                     .alias("b"))
-    votes = bits.groupBy("doc_id", "b").agg(
-        F.sum(F.expr("((shiftright(CASE WHEN b < 32 THEN h_lo ELSE h_hi "
-                     "END, b % 32) & 1) * 2 - 1) * tf")).alias("v"))
-    sim = votes.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN v > 0 AND b >= 32 THEN "
-                     "shiftleft(CAST(1 AS BIGINT), CAST(b - 32 AS INT)) "
-                     "ELSE CAST(0 AS BIGINT) END")).alias("simhash_hi"),
-        F.sum(F.expr("CASE WHEN v > 0 AND b < 32 THEN "
-                     "shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
-                     "ELSE CAST(0 AS BIGINT) END")).alias("simhash_lo"))
-    return sim.select("doc_id", F.col("simhash_hi").cast("long")
-                      .alias("simhash_hi"),
-                      F.col("simhash_lo").cast("long").alias("simhash_lo"))
+    votes = tf.select("doc_id", *[
+        F.expr(f"((shiftright({'h_lo' if b < 32 else 'h_hi'}, {b % 32}) "
+               f"& 1) * 2 - 1) * tf").alias(f"v{b}")
+        for b in range(64)])
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(64)])
+    hi = sum((F.when(F.col(f"v{b}") > 0,
+                     F.lit(1 << (b - 32)).cast("long"))
+              .otherwise(F.lit(0).cast("long")) for b in range(32, 64)),
+             start=F.lit(0).cast("long"))
+    lo = sum((F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+              .otherwise(F.lit(0).cast("long")) for b in range(32)),
+             start=F.lit(0).cast("long"))
+    return agg.select("doc_id", hi.alias("simhash_hi"),
+                      lo.alias("simhash_lo"))
 
 
 JACCARD_DF_CAP = 64  # Zipf-head shingles are dropped before the pair join
@@ -501,16 +507,24 @@ def dedup_ngram_jaccard(spark, sf_dir):
     bounds pairs-per-shingle at cap·(cap-1)/2. Sizes derive from the
     same small aggregated relation."""
     sh = _shingles(spark, sf_dir, distinct=False)
+    # persisted because BOTH sizes and pairs read it — without the
+    # persist Spark recomputes the whole shingle aggregation twice
+    # (measured: the dominant cost of this entry). At 100 TB this is
+    # a materialize-to-table step, not an in-memory cache.
     grp = (sh.groupBy("shingle")
            .agg(F.collect_set("doc_id").alias("docs"))
            .filter(F.size("docs") <= JACCARD_DF_CAP)
-           .select(F.array_sort("docs").alias("docs")))
+           .persist())
     sizes = (grp.select(F.explode("docs").alias("doc_id"))
              .groupBy("doc_id").agg(F.count("*").alias("sz")))
-    pairs = grp.select(F.explode(F.expr(
-        "flatten(transform(docs, (x, i) -> "
-        "transform(slice(docs, i + 2, size(docs)), "
-        "y -> struct(x AS d1, y AS d2))))")).alias("p"))
+    # singleton shingles (the vast majority) contribute no pairs —
+    # skip them before the O(cap²) pair expansion
+    pairs = (grp.filter(F.size("docs") >= 2)
+             .select(F.array_sort("docs").alias("docs"))
+             .select(F.explode(F.expr(
+                 "flatten(transform(docs, (x, i) -> "
+                 "transform(slice(docs, i + 2, size(docs)), "
+                 "y -> struct(x AS d1, y AS d2))))")).alias("p")))
     common = (pairs.select("p.d1", "p.d2")
               .groupBy("d1", "d2").agg(F.count("*").alias("common")))
     s1 = sizes.select(F.col("doc_id").alias("d1"),

@@ -53,16 +53,22 @@ def synth_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 def _decode_image_stub(content: bytes) -> tuple[int, int, np.ndarray]:
     """STUB — deterministic fake decode. Real impl: PIL.Image.open +
     resize + CLIP-style encode. Raises nothing here so the pipeline is
-    testable; a real deployment replaces this function only. The hash
-    basis is the lowercase-hex encoding of the payload so the metadata
-    (width/height) is independently recomputable by the DuckDB oracle
-    (sha256 there is VARCHAR-only)."""
-    h = hashlib.sha256(content.hex().encode()).digest()
-    width = 64 + h[0]
-    height = 64 + h[1]
-    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
-    vec = rng.standard_normal(EMBED_DIM).astype(np.float32)
-    vec /= np.linalg.norm(vec)  # L2-normalize (mod.rs:80-82)
+    testable; a real deployment replaces this function only. EVERY
+    output is hash-derived (no RNG) so the DuckDB oracle recomputes it
+    independently: with hx = sha256 hex of the lowercase-hex payload,
+    width/height = 64 + first two hex bytes, and embedding component
+    d = (first 8 hex chars of sha256(hx || '-' || d) as int) % 1e6
+    / 1e6 - 0.5, L2-normalized (mod.rs:80-82; normalization is a
+    positive scale, so LSH sign bits and cosine match the oracle's
+    unnormalized doubles exactly)."""
+    hx = hashlib.sha256(content.hex().encode()).hexdigest()
+    width = 64 + int(hx[0:2], 16)
+    height = 64 + int(hx[2:4], 16)
+    comps = np.array(
+        [(int(hashlib.sha256(f"{hx}-{d}".encode()).hexdigest()[:8], 16)
+          % 1000000) / 1e6 - 0.5 for d in range(EMBED_DIM)],
+        dtype=np.float64)
+    vec = (comps / np.linalg.norm(comps)).astype(np.float32)
     return width, height, vec
 
 
@@ -93,6 +99,14 @@ def extract_features(assets: DataFrame,
 
 N_PLANES = 32  # total hyperplanes
 N_BANDS = 4    # bands of 8 bits; candidates match on ANY full band
+MM_PLANES_SEED = 1234
+
+
+def mm_planes() -> np.ndarray:
+    """Deterministic hyperplanes shared by the Spark plan and the
+    code-generated DuckDB oracle (literals on both sides)."""
+    rng = np.random.default_rng(MM_PLANES_SEED)
+    return rng.standard_normal((N_PLANES, EMBED_DIM)).astype(float)
 
 
 def near_dup_by_embedding(features: DataFrame,
@@ -105,8 +119,7 @@ def near_dup_by_embedding(features: DataFrame,
     recall); pairwise cosine only WITHIN band buckets (no O(n²) cross
     join). At 10^12 rows raise the bits per band (e.g. 4×16) —
     selectivity scales as 2^bits per band."""
-    rng = np.random.default_rng(1234)
-    planes = rng.standard_normal((N_PLANES, EMBED_DIM)).astype(float)
+    planes = mm_planes()
     bits = [
         F.when(
             F.aggregate(
