@@ -61,10 +61,30 @@ def embed_directory(spark: SparkSession, directory: str,
         files = incremental_files(files, indexed)
         offset = sum(ln["n_docs"] for ln in lineage)
         batch = f"incr-{len(lineage):04d}"
+    if batch in {ln["batch_id"] for ln in lineage}:
+        # a second non-incremental call on an existing index would
+        # append a duplicate lineage line (doubled docs in every
+        # reader) — refuse instead of silently corrupting
+        raise ValueError(
+            f"batch {batch!r} is already committed at {index_root!r}; "
+            "pass incremental=True to append only new files, or use a "
+            "fresh index_root")
     docs = decode_documents(files, chunk_chars)
     if docs.isEmpty():
         return {"batch_id": batch, "n_docs": 0, "skipped": True}
     return w.build(docs, batch_id=batch, doc_id_offset=offset)
+
+
+def embed_url(spark: SparkSession, url: str,
+              chunk_chars: int = DEFAULT_CHUNK_CHARS) -> DataFrame:
+    """S7: fetch one URL (driver-side, processor.rs:23-57) → decoded
+    chunk rows, same shape as embed_file."""
+    from pathlib import Path
+
+    from embedanything_spark.sources import fetch_url
+    path = fetch_url(url)
+    return decode_documents(
+        scan_files(spark, str(Path(path).parent)), chunk_chars)
 
 
 def embed_query(spark: SparkSession, index_root: str,

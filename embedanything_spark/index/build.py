@@ -254,6 +254,19 @@ def _build_partition_factory(bucket_starts: list[int], block_range: int):
     return fn
 
 
+def dict_state(root: str | Path) -> set[str] | None:
+    """Batch ids whose block metadata the dictionary has folded in.
+    Lives INSIDE the dictionary dir (underscore-prefixed → invisible
+    to parquet readers, like _SUCCESS) so the atomic directory swap
+    carries data and state together — there is no window where the
+    dictionary exists but its fold state is stale. None = no
+    dictionary (or a pre-state-format one) — callers full-rebuild."""
+    f = Path(root) / "dictionary/_dict_state.json"
+    if not f.exists():
+        return None
+    return set(json.loads(f.read_text())["folded"])
+
+
 def committed_lineage(root: str | Path) -> list[dict]:
     """Committed batches, in commit order (the snapshot manifest)."""
     f = Path(root) / "_meta/lineage.jsonl"
@@ -591,10 +604,29 @@ class IndexWriter:
         self.finalize(spark)
         return lineage
 
+    def _swap_dictionary(self, staging: Path) -> None:
+        """Atomic-as-possible directory swap: rename the live dict
+        aside, rename staging in, delete the old one last. A crash
+        between the renames leaves NO dictionary dir → the next
+        finalize takes the full-rebuild path (dict_state None). The
+        previous rmtree-then-rename left a window with a half-deleted
+        live dictionary; with an Iceberg catalog this whole swap is a
+        metadata pointer flip."""
+        import shutil
+        dict_dir = self.root / "dictionary"
+        old = self.root / f"_dict_old-{uuid.uuid4().hex[:8]}"
+        if dict_dir.exists():
+            dict_dir.rename(old)
+            staging.rename(dict_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            staging.rename(dict_dir)
+
     def finalize(self, spark: SparkSession,
                  add_batches: list[str] | None = None) -> dict:
-        """Segment merge → global dictionary + corpus meta. Idempotent;
-        re-run after resume. Reads block METADATA only (parquet column
+        """Segment merge → global dictionary + corpus meta. Idempotent
+        (including under foreachBatch's at-least-once replay); re-run
+        after resume. Reads block METADATA only (parquet column
         pruning skips the byte payloads). groupBy(term) gets map-side
         partial aggregation; range_id already salted the hot terms
         across input partitions, so no reducer sees a whole head term.
@@ -603,43 +635,63 @@ class IndexWriter:
         batches' block metadata into the existing dictionary instead of
         re-aggregating the whole corpus (O(new batch), the append path
         streaming ingest uses per micro-batch; a full rebuild at 100 TB
-        per micro-batch would be the classic scale trap). The merged
-        dictionary is staged to a fresh dir and swapped in; a crash
-        between swap steps is healed by the next (idempotent full)
-        finalize."""
-        import shutil
+        per micro-batch would be the classic scale trap).
 
+        Crash safety: the dictionary dir carries its own fold state
+        (``_dict_state.json``, swapped in atomically with the data).
+        The incremental path runs ONLY when state ∪ add_batches equals
+        the committed lineage exactly — a batch committed but never
+        folded (crash between commit and fold), or an unknown state
+        format, diverges and triggers a self-healing FULL rebuild; a
+        replayed batch already in state is skipped, so nothing is ever
+        folded twice."""
+        import shutil
         parts = self._parts(spark)
         dict_dir = self.root / "dictionary"
-        if add_batches and dict_dir.exists() and \
-                (self.root / "_meta/meta.json").exists():
-            add_paths = [str(self.root / "data" / f"batch-{b}"
-                             / "kind=block") for b in add_batches]
-            add = (spark.read.parquet(*add_paths)
-                   .groupBy("term")
-                   .agg(F.sum("n").alias("df"),
-                        F.sum("sum_tf").alias("cf")))
-            merged = (spark.read.parquet(str(dict_dir))
-                      .unionByName(add)
-                      .groupBy("term")
-                      .agg(F.sum("df").alias("df"),
-                           F.sum("cf").alias("cf")))
+        # sweep staging/old orphans from any previously-crashed swap
+        for d in list(self.root.glob("_dict_staging-*")) + \
+                list(self.root.glob("_dict_old-*")):
+            shutil.rmtree(d, ignore_errors=True)
+        lineage_ids = {ln["batch_id"]
+                       for ln in committed_lineage(self.root)}
+        state = dict_state(self.root)
+        incremental = (add_batches is not None and state is not None
+                       and (self.root / "_meta/meta.json").exists())
+        pending: list[str] = []
+        if incremental:
+            pending = [b for b in add_batches if b not in state]
+            if state | set(pending) != lineage_ids:
+                incremental = False  # divergence → heal via full rebuild
+        if incremental and not pending:
+            pass  # at-least-once replay of an already-folded batch
+        else:
             staging = self.root / f"_dict_staging-{uuid.uuid4().hex[:8]}"
+            if incremental:
+                add_paths = [str(self.root / "data" / f"batch-{b}"
+                                 / "kind=block") for b in pending]
+                add = (spark.read.parquet(*add_paths)
+                       .groupBy("term")
+                       .agg(F.sum("n").alias("df"),
+                            F.sum("sum_tf").alias("cf")))
+                merged = (spark.read.parquet(str(dict_dir))
+                          .unionByName(add)
+                          .groupBy("term")
+                          .agg(F.sum("df").alias("df"),
+                               F.sum("cf").alias("cf")))
+                folded = sorted(state | set(pending))
+            else:
+                postings = spark.read.parquet(
+                    *table_paths(self.root, "postings"))
+                merged = (postings.groupBy("term")
+                          .agg(F.sum("n").alias("df"),
+                               F.sum("sum_tf").alias("cf")))
+                folded = sorted(lineage_ids)
             (merged.repartitionByRange(max(1, parts // 4), "term")
                    .sortWithinPartitions("term")
                    .write.mode("overwrite").parquet(str(staging)))
-            shutil.rmtree(dict_dir)
-            staging.rename(dict_dir)
-        else:
-            postings = spark.read.parquet(
-                *table_paths(self.root, "postings"))
-            (postings.groupBy("term")
-                     .agg(F.sum("n").alias("df"),
-                          F.sum("sum_tf").alias("cf"))
-                     .repartitionByRange(max(1, parts // 4), "term")
-                     .sortWithinPartitions("term")
-                     .write.mode("overwrite")
-                     .parquet(str(dict_dir)))
+            (staging / "_dict_state.json").write_text(
+                json.dumps({"folded": folded}))
+            self._swap_dictionary(staging)
 
         # corpus stats without another docmap scan: n_docs from the
         # lineage manifest (footer-exact per committed batch),

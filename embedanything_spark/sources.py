@@ -94,3 +94,26 @@ def decode_documents(files: DataFrame, chunk_chars: int = 1000,
 def incremental_files(files: DataFrame, indexed: DataFrame) -> DataFrame:
     """S5: drop files whose path is already in the indexed set."""
     return files.join(indexed.select("path"), "path", "left_anti")
+
+
+def fetch_url(url: str, dest_dir: str | None = None) -> str:
+    """S7 URL fetch (``processors/src/processor.rs:23-57``): download
+    one document into a local staging dir and return its path, ready
+    for ``scan_files``/``decode_documents``. Driver-side by design —
+    the reference's URL processor is an equally blocking reqwest GET:
+    this is an ingest utility, not a distributed operator (bulk crawls
+    belong in an upstream fetcher writing to object storage)."""
+    import tempfile
+    import urllib.parse
+    import urllib.request
+
+    from pathlib import Path
+    dest = Path(dest_dir or tempfile.mkdtemp(prefix="ea_url_"))
+    dest.mkdir(parents=True, exist_ok=True)
+    name = Path(urllib.parse.urlparse(url).path).name or "index.html"
+    if "." not in name:
+        name += ".html"
+    out = dest / name
+    with urllib.request.urlopen(url) as r:
+        out.write_bytes(r.read())
+    return str(out)

@@ -43,15 +43,31 @@ class StreamingIndexIngest:
                    committed_lineage(self.writer.root))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        bid = f"stream-{batch_id:06d}"
+        committed = {ln["batch_id"] for ln in
+                     committed_lineage(self.writer.root)}
+        if bid in committed:
+            # foreachBatch is at-least-once: a replayed micro-batch
+            # must NOT append a second lineage line (doubled docs) or
+            # fold its df/cf into the dictionary twice. The batch data
+            # is already committed; re-run only the (idempotent)
+            # finalize in case the previous attempt crashed between
+            # commit and fold.
+            if self.finalize_each_batch:
+                self.writer.finalize(batch_df.sparkSession,
+                                     add_batches=[bid])
+            return
         if batch_df.isEmpty():
             return
-        bid = f"stream-{batch_id:06d}"
         self.writer.build(batch_df, batch_id=bid,
                           doc_id_offset=self._offset(), finalize=False)
         if self.finalize_each_batch:
             # INCREMENTAL dictionary maintenance: fold only this
             # micro-batch's block metadata into the dictionary —
-            # O(batch), not O(corpus), per micro-batch
+            # O(batch), not O(corpus), per micro-batch; the fold state
+            # rides inside the dictionary dir, so a crash between the
+            # lineage commit above and this fold self-heals (the next
+            # finalize detects the divergence and full-rebuilds)
             self.writer.finalize(batch_df.sparkSession,
                                  add_batches=[bid])
 

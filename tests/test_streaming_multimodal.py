@@ -47,6 +47,62 @@ def test_streaming_ingest_matches_batch(spark, tmp_path, queries_pdf):
     np.testing.assert_allclose(a["score"], b["score"], rtol=1e-9)
 
 
+def test_streaming_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-processing an already-
+    committed micro-batch must not append a second lineage line or
+    fold its df/cf into the dictionary twice."""
+    from embedanything_spark.streaming.ingest import StreamingIndexIngest
+
+    root = str(tmp_path / "ridx")
+    t = gen_transcripts_df(spark, 20)
+    ing = StreamingIndexIngest(root, block_range=256, num_partitions=4)
+    ing.process_batch(t, 0)
+    lin1 = committed_lineage(root)
+    d1 = (spark.read.parquet(root + "/dictionary")
+          .orderBy("term").toPandas())
+    ing.process_batch(t, 0)  # at-least-once replay of batch 0
+    assert len(committed_lineage(root)) == len(lin1) == 1
+    d2 = (spark.read.parquet(root + "/dictionary")
+          .orderBy("term").toPandas())
+    pd.testing.assert_frame_equal(d1, d2)
+
+
+def test_crash_between_commit_and_fold_heals(spark, tmp_path):
+    """A batch committed but never folded (crash between the lineage
+    append and the incremental finalize) diverges the dictionary's
+    fold state; the NEXT incremental finalize detects it and
+    self-heals with a full rebuild."""
+    from embedanything_spark.index.build import dict_state
+
+    root = str(tmp_path / "hidx")
+    w = IndexWriter(root, block_range=256, num_partitions=4)
+    t = gen_transcripts_df(spark, 30)
+
+    def off():
+        return sum(ln["n_docs"] for ln in committed_lineage(root))
+
+    w.build(t.filter("conv_id < 'conv-00000010'"), batch_id="b0")
+    assert dict_state(root) == {"b0"}
+    # crash: b1 commits (lineage line) but the fold never runs
+    w.build(t.filter("conv_id >= 'conv-00000010' AND "
+                     "conv_id < 'conv-00000020'"),
+            batch_id="b1", doc_id_offset=off(), finalize=False)
+    # next micro-batch commits b2 and runs its incremental finalize:
+    # state {b0} ∪ {b2} != lineage {b0,b1,b2} → full rebuild
+    w.build(t.filter("conv_id >= 'conv-00000020'"),
+            batch_id="b2", doc_id_offset=off(), finalize=False)
+    w.finalize(spark, add_batches=["b2"])
+    assert dict_state(root) == {"b0", "b1", "b2"}
+    got = (spark.read.parquet(root + "/dictionary")
+           .select("term", "df", "cf").orderBy("term").toPandas())
+    # healed dictionary == a from-scratch build over the same corpus
+    ref_root = str(tmp_path / "hidx_ref")
+    IndexWriter(ref_root, block_range=256, num_partitions=4).build(t)
+    want = (spark.read.parquet(ref_root + "/dictionary")
+            .select("term", "df", "cf").orderBy("term").toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_multimodal_features(spark):
     assets = synth_assets(spark, 30)
     feats = extract_features(assets, batch_partitions=4).toPandas()
