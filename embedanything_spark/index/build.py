@@ -70,6 +70,40 @@ from embedanything_spark.operators.doc_ids import zip_with_index
 DEFAULT_BLOCK_RANGE = 65536
 DOCS_PER_PARTITION = 10_000  # caps per-worker memory in the fused pass
 
+_PKEY_CACHE: dict[tuple[str, int], list[int]] = {}
+
+
+def _partition_keys(spark: SparkSession, parts: int) -> list[int]:
+    """Exact bucket→partition routing keys. ``repartition(parts, col)``
+    hash-partitions on pmod(murmur3(col), parts); hashing the dense
+    bucket ids 0..parts-1 directly leaves ~1/e of the tasks empty and
+    piles 2-4 buckets onto one straggler task (balls-in-bins), which
+    both serializes the fused pass and multiplies its documented
+    per-worker memory cap. Instead, find — JVM-side, so the hash is
+    exactly Spark's own Murmur3/seed-42 on the same LongType — one
+    long key per bucket id whose partition assignment IS that id. The
+    exchange then routes every bucket to its own partition: zero
+    collisions, zero empty tasks. O(parts) driver memory, one tiny
+    local-range job, cached per (app, parts)."""
+    ck = (spark.sparkContext.applicationId, parts)
+    if ck not in _PKEY_CACHE:
+        keys: list = [None] * parts
+        base, need = 0, parts
+        while need:
+            span = max(64 * parts, 4096)
+            for r in (spark.range(base, base + span)
+                      .select("id",
+                              F.pmod(F.hash("id"), F.lit(parts))
+                              .alias("p"))
+                      .collect()):
+                p = int(r["p"])
+                if keys[p] is None:
+                    keys[p] = int(r["id"])
+                    need -= 1
+            base += span
+        _PKEY_CACHE[ck] = keys
+    return _PKEY_CACHE[ck]
+
 
 def _searchsorted_udf(bounds_bc):
     """Vectorized bucket lookup: bucket k owns convs in
@@ -430,16 +464,22 @@ class IndexWriter:
         parts = len(bounds)
         bbc = spark.sparkContext.broadcast(bounds)
 
-        # THE one corpus shuffle: hash exchange on the bucket id (no
-        # range-partitioner sampling pass, no corpus persist); the
+        # THE one corpus shuffle: hash exchange routed one-bucket-per-
+        # partition via _partition_keys (no range-partitioner sampling
+        # pass, no corpus persist, no balls-in-bins stragglers); the
         # Arrow UDF sees only the conv_id column — text stays JVM-side
         # until the fused pass
+        karr = F.array(*[F.lit(k) for k in
+                         _partition_keys(spark, parts)]) \
+            .cast("array<bigint>")
         parent = (transcripts
                   .select("conv_id", "turn_idx", "role", "ts", "text")
                   .withColumn("_bucket",
                               _searchsorted_udf(bbc)(F.col("conv_id")))
-                  .repartition(parts, "_bucket")
-                  .sortWithinPartitions("_bucket", "conv_id", "turn_idx"))
+                  .withColumn("_pkey", F.get(karr, F.col("_bucket")))
+                  .repartition(parts, "_pkey")
+                  .sortWithinPartitions("_bucket", "conv_id", "turn_idx")
+                  .drop("_pkey"))
 
         # ONE Python pass over raw text → union stream of docmap rows
         # and encoded posting-block rows (postings never cross Arrow),

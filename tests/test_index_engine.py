@@ -351,3 +351,31 @@ def test_wand_pruning_skips_ranges(spark, tmp_path, transcripts_pdf):
     # hard property (test_pruned_equals_unpruned); this asserts the
     # mechanism actually fires.
     assert skip_rate > 0.2, f"pruning skipped only {skip_rate:.1%}"
+
+
+def test_partition_keys_route_one_bucket_per_partition(spark):
+    """ADVICE r2 (build.py:428): hash-repartitioning dense bucket ids
+    leaves ~1/e tasks empty and piles buckets onto stragglers. The
+    _partition_keys remap must place bucket b in partition b exactly —
+    zero collisions, zero empty partitions — for any parts."""
+    from pyspark.sql import functions as F
+
+    from embedanything_spark.index.build import _partition_keys
+
+    for parts in (5, 32):
+        keys = _partition_keys(spark, parts)
+        assert len(set(keys)) == parts
+        got = (spark.range(0, 1000)
+               .withColumn("_bucket",
+                           F.pmod(F.col("id"), F.lit(parts))
+                           .cast("int"))
+               .withColumn("_pkey",
+                           F.get(F.array(*[F.lit(k) for k in keys])
+                                 .cast("array<bigint>"),
+                                 F.col("_bucket")))
+               .repartition(parts, "_pkey")
+               .withColumn("pid", F.spark_partition_id())
+               .select("_bucket", "pid").distinct().collect())
+        assert len(got) == parts  # every (bucket, partition) unique
+        for r in got:
+            assert r["pid"] == r["_bucket"]
