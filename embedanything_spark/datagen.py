@@ -52,14 +52,39 @@ def _vocab() -> tuple[np.ndarray, np.ndarray]:
     return _VOCAB, _CDF
 
 
-def _gen_conv_arrays(conv_i: int, seed: int = SEED) -> dict:
+CLUSTER_EPOCH = 2000   # convs per topic epoch in clustered mode
+CLUSTER_POOL = 64      # terms per epoch pool
+
+
+def topic_pool(epoch: int) -> np.ndarray:
+    """Deterministic 64-term topic pool for one epoch (clustered
+    mode), spread over the torso/tail vocab region."""
+    vocab, _ = _vocab()
+    idx = (epoch * 9973 + np.arange(CLUSTER_POOL) * 131) \
+        % (VOCAB_SIZE - 2000) + 2000
+    return vocab[idx]
+
+
+def _gen_conv_arrays(conv_i: int, seed: int = SEED,
+                     clustered: bool = False) -> dict:
     """Column arrays for one conversation; pure function of
-    (seed, conv_i). Fully vectorized (one batch of draws per conv)."""
+    (seed, conv_i). Fully vectorized (one batch of draws per conv).
+
+    ``clustered``: convs arrive in epochs of CLUSTER_EPOCH sharing a
+    CLUSTER_POOL-term topic pool — the temporal/topical locality real
+    time-ordered agent logs have (doc_ids follow conv order, so
+    posting blocks inherit it). The default corpus is uniformly
+    shuffled: every doc range is statistically identical, which is
+    the worst case for block-max pruning by construction."""
     vocab, cdf = _vocab()
     rng = np.random.default_rng((seed, conv_i))
     n_turns = int(min(1 + rng.poisson(7), 40))
     # sticky per-conv topic terms → realistic df spread
-    topic = vocab[np.searchsorted(cdf, rng.random(3))]
+    if clustered:
+        pool = topic_pool(conv_i // CLUSTER_EPOCH)
+        topic = pool[rng.integers(CLUSTER_POOL, size=3)]
+    else:
+        topic = vocab[np.searchsorted(cdf, rng.random(3))]
     conv_id = f"conv-{conv_i:08d}"
     base = np.datetime64("2026-01-01T00:00:00") + \
         np.timedelta64(conv_i * 37, "s")
@@ -100,10 +125,11 @@ def _gen_conv_arrays(conv_i: int, seed: int = SEED) -> dict:
     }
 
 
-def _gen_batch(conv_ids, seed: int = SEED) -> pd.DataFrame:
+def _gen_batch(conv_ids, seed: int = SEED,
+               clustered: bool = False) -> pd.DataFrame:
     """Many convs → ONE DataFrame (per-conv frame construction is the
     dominant cost otherwise)."""
-    parts = [_gen_conv_arrays(int(i), seed) for i in conv_ids]
+    parts = [_gen_conv_arrays(int(i), seed, clustered) for i in conv_ids]
     return pd.DataFrame({
         c: np.concatenate([p[c] for p in parts])
         for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")})
@@ -113,20 +139,22 @@ def gen_conv(conv_i: int, seed: int = SEED) -> pd.DataFrame:
     return _gen_batch([conv_i], seed)
 
 
-def gen_transcripts_pdf(n_convs: int, seed: int = SEED) -> pd.DataFrame:
+def gen_transcripts_pdf(n_convs: int, seed: int = SEED,
+                        clustered: bool = False) -> pd.DataFrame:
     """Driver-side generation (tests, oracle). Same rows as the Spark path."""
-    return _gen_batch(range(n_convs), seed)
+    return _gen_batch(range(n_convs), seed, clustered)
 
 
 def gen_transcripts_df(spark, n_convs: int, seed: int = SEED,
-                       partitions: int | None = None):
+                       partitions: int | None = None,
+                       clustered: bool = False):
     """Distributed generation: identical rows at any parallelism."""
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches):
         for pdf in batches:
             if len(pdf):
-                yield _gen_batch(pdf["id"].to_numpy(), seed)
+                yield _gen_batch(pdf["id"].to_numpy(), seed, clustered)
 
     return (spark.range(0, n_convs, numPartitions=parts)
             .mapInPandas(gen, schema=_SCHEMA))
@@ -168,4 +196,31 @@ def gen_query_set(seed: int = SEED) -> pd.DataFrame:
         "query_id": np.arange(50, dtype=np.int32),
         "query_text": queries,
         "k": np.array(ks, dtype=np.int32),
+    })
+
+
+def gen_cluster_query_set(n_convs: int, seed: int = SEED) -> pd.DataFrame:
+    """Frozen 50-query set for the CLUSTERED corpus: topic-pool terms
+    whose high-tf postings are range-local (their epoch), plus a few
+    head-mixed queries showing the bound-stacking limit. Deterministic
+    in (seed, n_convs)."""
+    vocab, _ = _vocab()
+    rng = np.random.default_rng((seed, 10**9 + 1))
+    n_epochs = max(1, n_convs // CLUSTER_EPOCH)
+    queries: list[str] = []
+    for i in range(20):          # 1 pool term
+        pool = topic_pool(int(rng.integers(n_epochs)))
+        queries.append(str(pool[int(rng.integers(CLUSTER_POOL))]))
+    for i in range(20):          # 2 pool terms, same epoch
+        pool = topic_pool(int(rng.integers(n_epochs)))
+        a, b = rng.integers(CLUSTER_POOL, size=2)
+        queries.append(f"{pool[int(a)]} {pool[int(b)]}")
+    for i in range(10):          # pool + head mix
+        pool = topic_pool(int(rng.integers(n_epochs)))
+        queries.append(f"{pool[int(rng.integers(CLUSTER_POOL))]} "
+                       f"{vocab[int(rng.integers(0, 50))]}")
+    return pd.DataFrame({
+        "query_id": np.arange(50, dtype=np.int32),
+        "query_text": queries,
+        "k": np.full(50, 10, dtype=np.int32),
     })

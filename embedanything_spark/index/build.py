@@ -42,6 +42,15 @@ Blocks store (max_tf, min_dl) rather than a precomputed impact so
 upper bounds remain valid if avgdl drifts under incremental appends:
 tf·(k1+1)/(tf + k1(1-b+b·dl/avgdl)) is increasing in tf and
 decreasing in dl, hence f(max_tf, min_dl) bounds every posting.
+That classic bound is loose, though — it pairs one doc's max tf with
+another doc's min dl, inflating head-term bounds ~35% and defeating
+pruning on short-doc corpora. Blocks therefore ALSO store an
+avgdl-LADDER of exact per-block impact maxima: impact is monotone
+increasing in avgdl, so max_i impact(tf_i, dl_i; a) computed at fixed
+rungs a ∈ IMPACT_LADDER is a valid per-term bound whenever the true
+(finalize-time, or post-append) avgdl ≤ a. The query picks the
+smallest rung ≥ the current avgdl — a per-doc-joint (tf, dl) bound,
+with no second build pass and no staleness under appends.
 
 The reference analogue: its sparse-embed stage emits per-term weights
 per chunk (bert.rs:361-400) and streams batches to an index sink
@@ -69,6 +78,9 @@ from embedanything_spark.operators.doc_ids import zip_with_index
 
 DEFAULT_BLOCK_RANGE = 65536
 DOCS_PER_PARTITION = 10_000  # caps per-worker memory in the fused pass
+# avgdl rungs for the per-block impact-bound ladder (see module doc);
+# covers turn-level (~tens of tokens) through chunk-level (~1k) corpora
+IMPACT_LADDER = (8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0, 1024.0)
 
 _PKEY_CACHE: dict[tuple[str, int], list[int]] = {}
 
@@ -119,7 +131,8 @@ def _searchsorted_udf(bounds_bc):
 
 _DOC_COLS = ["doc_id", "conv_id", "turn_idx", "role", "ts", "doclen"]
 _BLOCK_COLS = ["term", "range_id", "n", "min_doc", "max_doc", "max_tf",
-               "min_dl", "sum_tf", "doc_bytes", "tf_bytes", "dl_bytes"]
+               "min_dl", "sum_tf", "doc_bytes", "tf_bytes", "dl_bytes",
+               "max_impact"]
 # kind='part': one per-partition lineage row (north rule: resumable
 # with PER-PARTITION lineage + metrics)
 _PART_COLS = ["part_id", "part_docs", "part_postings", "part_blocks",
@@ -130,6 +143,7 @@ _UNION_SCHEMA = (
     "term string, range_id long, n int, min_doc long, max_doc long, "
     "max_tf int, min_dl int, sum_tf long, "
     "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "max_impact array<double>, "
     "part_id int, part_docs long, part_postings long, "
     "part_blocks long, part_payload_bytes long, part_buckets int, "
     "part_sec double")
@@ -168,11 +182,23 @@ def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     deltas = np.empty(n, dtype=np.uint64)
     deltas[1:] = (doc[1:] - doc[:-1]).astype(np.uint64)
     deltas[starts] = 0  # rebased to the block's min_doc
+    # avgdl-ladder impact maxima (module doc): one vectorized impact
+    # matrix over all postings, max.reduceat per block along the
+    # posting axis — the per-doc-joint (tf, dl) bound the classic
+    # (max_tf, min_dl) pair can't express
+    tff = tf.astype(np.float64)
+    dlf = dl.astype(np.float64)
+    imps = np.empty((len(IMPACT_LADDER), n), dtype=np.float64)
+    for li, a in enumerate(IMPACT_LADDER):
+        imps[li] = (tff * (K1 + 1.0)) / \
+            (tff + K1 * ((1.0 - B) + B * dlf / a))
+    mimp = np.maximum.reduceat(imps, starts, axis=1)
     out = {"term": term[starts], "range_id": rid[starts],
            "n": counts.astype(np.int32),
            "min_doc": min_doc, "max_doc": max_doc,
            "max_tf": max_tf.astype(np.int32),
-           "min_dl": min_dl.astype(np.int32), "sum_tf": sum_tf}
+           "min_dl": min_dl.astype(np.int32), "sum_tf": sum_tf,
+           "max_impact": [mimp[:, j] for j in range(len(starts))]}
     for col, vals in (("doc_bytes", deltas),
                       ("tf_bytes", tf.astype(np.uint64)),
                       ("dl_bytes", dl.astype(np.uint64))):

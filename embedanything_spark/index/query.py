@@ -54,7 +54,7 @@ from pyspark.sql.window import Window
 
 from embedanything_spark import B, K1
 from embedanything_spark.analyzer import ANALYZER_VERSION, tokenize
-from embedanything_spark.index.build import table_paths
+from embedanything_spark.index.build import IMPACT_LADDER, table_paths
 from embedanything_spark.index.codec import varint_decode
 
 _CAND_SCHEMA = "query_id int, doc_id long, score double"
@@ -65,35 +65,19 @@ def _idf(n_docs: int, df: np.ndarray) -> np.ndarray:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def _decode_contribs(rows: pd.DataFrame, idf_by_term: dict[str, float],
-                     avgdl: float):
-    """Decode block rows → (doc_ids, contribs) arrays, summed per doc
-    in fixed (doc, term) order."""
-    docs_l, contrib_l, term_l = [], [], []
-    for r in rows.itertuples():
-        doc = np.cumsum(varint_decode(r.doc_bytes)).astype(np.int64) \
-            + np.int64(r.min_doc)
-        tf = varint_decode(r.tf_bytes).astype(np.float64)
-        dl = varint_decode(r.dl_bytes).astype(np.float64)
-        denom = tf + K1 * (1.0 - B + B * dl / avgdl)
-        contrib = idf_by_term[r.term] * (tf * (K1 + 1.0)) / denom
-        docs_l.append(doc)
-        contrib_l.append(contrib)
-        term_l.append(np.full(len(doc), r.term, dtype=object))
-    doc = np.concatenate(docs_l)
-    contrib = np.concatenate(contrib_l)
-    term = np.concatenate(term_l)
-    order = np.lexsort((term, doc))
-    doc, contrib = doc[order], contrib[order]
-    starts = np.nonzero(np.r_[True, doc[1:] != doc[:-1]])[0]
-    return doc[starts], np.add.reduceat(contrib, starts)
-
-
 def _merge_topk(best_doc, best_score, doc, score, k):
     d = np.concatenate([best_doc, doc])
     s = np.concatenate([best_score, score])
     order = np.lexsort((d, -s))[:k]
     return d[order], s[order]
+
+
+# Per-partition decoded-block cache cap. Decoded arrays are ~12× the
+# encoded payload; candidate blocks are query-proportional (the In()
+# pushdown admits only query-term blocks), but a very large query
+# batch could still pool more decoded payload than worker memory —
+# beyond the cap blocks are decoded without being retained.
+_MAX_CACHED_BLOCKS = 8192
 
 
 def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
@@ -102,41 +86,108 @@ def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
     row arrives with its term's global df (broadcast dictionary join),
     so idf is computed here — no separate dictionary round-trip.
     ``decode_acc``: optional Spark accumulator counting DECODED ranges
-    (pruning-effectiveness instrumentation)."""
+    (pruning-effectiveness instrumentation).
+
+    The sweep is pure numpy: one stable term-major sort of the pooled
+    block rows up front, per-term contiguous row slices, and a decode
+    cache shared across the batch's queries (a block selected by many
+    queries is decoded once). Per-doc summation stays in (doc, term)
+    order, so scores are bit-identical at any parallelism. The old
+    pandas shape (per-query isin + groupby→dict of sub-frames +
+    object-dtype lexsort) cost ~1-2 ms per decoded block — per-block
+    Python overhead, the dominant batch-query cost at small
+    block_range."""
 
     def score_partition(batches):
         chunks = [c for c in batches if len(c)]
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        pdf["idf"] = _idf(n_docs, pdf["df"].to_numpy(np.float64))
-        # per-block upper-bound contribution = idf · impact(max_tf,min_dl)
+        # stable term-major sort: per-query selections concatenate
+        # per-term slices in sorted-term order, fixing the per-doc
+        # float summation order (term-ascending, as before)
+        pdf = pdf.sort_values("term", kind="stable", ignore_index=True)
+        term_arr = pdf["term"].to_numpy(object)
+        idf = _idf(n_docs, pdf["df"].to_numpy(np.float64))
+        # per-block upper-bound contribution: classic
+        # idf · impact(max_tf, min_dl), tightened by the avgdl-ladder
+        # max-impact bound when present (build.py module doc) — pick
+        # the smallest rung ≥ the current avgdl (validity direction:
+        # impact is monotone ↑ in avgdl); the 1+1e-12 guards against
+        # ulp-level rounding unseating exactness, and min() keeps
+        # whichever bound is tighter per block
         mtf = pdf["max_tf"].to_numpy(np.float64)
         mdl = pdf["min_dl"].to_numpy(np.float64)
-        pdf["ub"] = pdf["idf"].to_numpy() * (mtf * (K1 + 1.0)) / \
+        ub = idf * (mtf * (K1 + 1.0)) / \
             (mtf + K1 * (1.0 - B + B * mdl / avgdl))
+        if "max_impact" in pdf.columns:
+            rung = [i for i, a in enumerate(IMPACT_LADDER)
+                    if a >= avgdl]
+            if rung:
+                L = rung[0]
+                mi = np.array(
+                    [v[L] if v is not None else np.inf
+                     for v in pdf["max_impact"].to_numpy(object)])
+                ub = np.minimum(ub, idf * mi * (1.0 + 1e-12))
+        rid_arr = pdf["range_id"].to_numpy(np.int64)
+        min_doc = pdf["min_doc"].to_numpy(np.int64)
+        doc_b = pdf["doc_bytes"].to_numpy(object)
+        tf_b = pdf["tf_bytes"].to_numpy(object)
+        dl_b = pdf["dl_bytes"].to_numpy(object)
+        uterms, tstarts = np.unique(term_arr, return_index=True)
+        tends = np.r_[tstarts[1:], len(term_arr)]
+        tslice = {t: (int(s), int(e))
+                  for t, s, e in zip(uterms, tstarts, tends)}
+        cache: dict[int, tuple] = {}
+
+        def decode_row(i: int):
+            hit = cache.get(i)
+            if hit is None:
+                hit = (np.cumsum(varint_decode(doc_b[i]))
+                       .astype(np.int64) + min_doc[i],
+                       varint_decode(tf_b[i]).astype(np.float64),
+                       varint_decode(dl_b[i]).astype(np.float64))
+                if len(cache) < _MAX_CACHED_BLOCKS:
+                    cache[i] = hit
+            return hit
+
         out = []
         for qid, q in qinfo.items():
-            sel = pdf[pdf["term"].isin(q["terms"])]
-            if len(sel) == 0:
+            spans = [tslice[t] for t in sorted(set(q["terms"]))
+                     if t in tslice]
+            if not spans:
                 continue
             k = q["k"]
-            idf_by_term = dict(zip(sel["term"], sel["idf"]))
-            range_ub = pd.Series(sel["ub"].to_numpy()).groupby(
-                sel["range_id"].to_numpy()).sum()
-            range_order = range_ub.sort_values(ascending=False)
+            sel = np.concatenate([np.arange(s, e) for s, e in spans])
+            ro = np.argsort(rid_arr[sel], kind="stable")
+            sel = sel[ro]
+            rids = rid_arr[sel]
+            rstarts = np.nonzero(np.r_[True, rids[1:] != rids[:-1]])[0]
+            rends = np.r_[rstarts[1:], len(rids)]
+            rub = np.add.reduceat(ub[sel], rstarts)
+            visit = np.argsort(-rub, kind="stable")
             best_doc = np.empty(0, dtype=np.int64)
             best_score = np.empty(0, dtype=np.float64)
-            by_range = dict(tuple(sel.groupby("range_id", sort=False)))
-            for rid, rub in range_order.items():
-                if prune and len(best_doc) == k and rub < best_score[-1]:
+            for j in visit:
+                if prune and len(best_doc) == k and \
+                        rub[j] < best_score[-1]:
                     break  # strict: ties at the k-th score still scored
                 if decode_acc is not None:
                     decode_acc.add(1)
-                doc, score = _decode_contribs(by_range[rid],
-                                              idf_by_term, avgdl)
+                docs_l, contrib_l = [], []
+                for i in sel[rstarts[j]:rends[j]]:
+                    d, tf, dl = decode_row(int(i))
+                    denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+                    docs_l.append(d)
+                    contrib_l.append(idf[i] * (tf * (K1 + 1.0)) / denom)
+                doc = np.concatenate(docs_l)
+                contrib = np.concatenate(contrib_l)
+                o = np.argsort(doc, kind="stable")  # in-doc: term order
+                doc, contrib = doc[o], contrib[o]
+                ds = np.nonzero(np.r_[True, doc[1:] != doc[:-1]])[0]
                 best_doc, best_score = _merge_topk(
-                    best_doc, best_score, doc, score, k)
+                    best_doc, best_score, doc[ds],
+                    np.add.reduceat(contrib, ds), k)
             out.append(pd.DataFrame({
                 "query_id": np.int32(qid),
                 "doc_id": best_doc, "score": best_score}))
