@@ -153,6 +153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the persisted payloads
         "multimodal_features": _multimodal_features,
         "multimodal_near_dup": _multimodal_near_dup,
+        # REAL decode kernels (pure stdlib + numpy — no media libs):
+        # PNG zlib inflate + unfilter, DOCX unzip + document.xml walk,
+        # PDF Flate-stream Tj/TJ extraction; SQL recomputes each
+        # decoded value closed-form from the deterministic payloads
+        "image_decode": _image_decode,
+        "doc_decode": _doc_decode,
         # the engine itself (DuckDB-oracle-checked: full BM25 over the
         # persisted transcripts, independently tokenized in SQL)
         "transcripts_bm25_wand": _transcripts_bm25,
@@ -182,6 +188,50 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         str(root / "assets"))
     assets = spark.read.parquet(str(root / "assets"))
     return extract_features(assets).drop("embedding")
+
+
+_IMG_ORACLE_DIR = "/tmp/ea_img_oracle"
+
+
+def _image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end (S2 with an actual kernel, not the
+    stub): synth_assets(real=True) authors genuine PNGs — a horizontal
+    gradient pixel[y,x] = v + x with v = id % 200, dims
+    (32 + 8·(id%4)) × (24 + 8·(id%3)), a different scanline filter
+    type per id — and image_stats inflates + unfilters the actual
+    pixels on executors (mediacodecs.decode_png). The oracle
+    recomputes width/height/lum2 (= 2·mean luminance = 2v + w − 1,
+    integer-exact) from the id in the path: any decode defect (wrong
+    filter reconstruction, wrong dims, wrong bytes) breaks the value
+    hash."""
+    import shutil
+
+    from embedanything_spark.operators.multimodal import (image_stats,
+                                                          synth_assets)
+    from embedanything_spark.session import package_zip
+    spark.sparkContext.addPyFile(package_zip())
+    root = Path(_IMG_ORACLE_DIR)
+    shutil.rmtree(root, ignore_errors=True)
+    synth_assets(spark, 120, real=True).write.mode("overwrite").parquet(
+        str(root / "assets"))
+    return image_stats(spark.read.parquet(str(root / "assets")))
+
+
+def _doc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DOCX + PDF text extraction end-to-end (S8/S9 with actual
+    kernels): synth_binary_docs authors genuine .docx zips and
+    Flate-compressed PDFs whose text embeds the id; decode_documents
+    routes them through the Arrow-batched binary decode UDF
+    (mediacodecs.docx_to_text / pdf_to_text). The oracle rebuilds the
+    decoded text from the path alone — the Spark side must actually
+    unzip + parse XML / inflate + parse content-stream operators to
+    match."""
+    from embedanything_spark.session import package_zip
+    from embedanything_spark.sources import (decode_documents,
+                                             synth_binary_docs)
+    spark.sparkContext.addPyFile(package_zip())
+    files = synth_binary_docs(spark, 60)
+    return decode_documents(files).select("conv_id", "turn_idx", "text")
 
 
 def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,6 +634,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN modality = 'video' THEN "
             "least(10, greatest(1, length // 512)) ELSE 1 END AS "
             "INTEGER) AS n_frames FROM h",
+
+        # REAL PNG decode: width/height/luminance recomputed from the
+        # id in the path (gradient closed form: mean = v + (w-1)/2,
+        # v = id % 200, w = 32 + 8*(id%4), h = 24 + 8*(id%3));
+        # the Spark side zlib-inflates + unfilters the actual pixels
+        "image_decode":
+            "WITH a AS (SELECT path, CAST(regexp_extract(path, "
+            "'([0-9]+)\\.png$', 1) AS BIGINT) AS i FROM "
+            f"read_parquet('{_IMG_ORACLE_DIR}/assets/*.parquet') "
+            "WHERE modality = 'image') "
+            "SELECT path, CAST(32 + 8 * (i % 4) AS INTEGER) AS width, "
+            "CAST(24 + 8 * (i % 3) AS INTEGER) AS height, "
+            "CAST(2 * (i % 200) + 32 + 8 * (i % 4) - 1 AS BIGINT) "
+            "AS lum2 FROM a",
+
+        # REAL DOCX/PDF text extraction: even ids are .docx (two
+        # paragraphs joined by \n), odd ids .pdf (two Tj lines joined
+        # by space); text reconstructed from the id alone
+        "doc_decode":
+            "WITH i AS (SELECT * FROM range(60)), "
+            "d AS (SELECT CASE WHEN range % 2 = 0 THEN "
+            "'/docs/' || lpad(CAST(range AS VARCHAR), 6, '0') || "
+            "'.docx' ELSE '/docs/' || lpad(CAST(range AS VARCHAR), 6, "
+            "'0') || '.pdf' END AS conv_id, "
+            "CASE WHEN range % 2 = 0 THEN "
+            "'para one of ' || range || chr(10) || 'para two of ' || "
+            "range ELSE 'line one of ' || range || ' line two of ' || "
+            "range END AS text FROM i) "
+            "SELECT conv_id, CAST(0 AS INTEGER) AS turn_idx, text "
+            "FROM d",
 
         # E3 late chunking: contextual (±2-doc window) static-embed
         # scalar, mean-pooled per fixed 4-doc chunk within source

@@ -211,6 +211,61 @@ def bench_headline(results: dict) -> None:
     spark.stop()
 
 
+def bench_prune_crossover(results: dict) -> None:
+    """Block-max WAND payoff in its real regime: a CLUSTERED corpus
+    (epoch-local topic pools — the temporal/topical locality of real
+    time-ordered transcripts) indexed at block_range=1024 and queried
+    with the frozen cluster query set. On the uniform corpus above the
+    few blocks per term make pruning ~break-even; when high-tf
+    postings are range-local, per-range impact bounds let whole ranges
+    be skipped before decode. Records batch time (median of REPEATS)
+    and the decoded-range accumulator for prune on vs off."""
+    from embedanything_spark.datagen import (gen_cluster_query_set,
+                                             gen_transcripts_df)
+    from embedanything_spark.index.build import IndexWriter
+    from embedanything_spark.index.query import IndexReader
+    from embedanything_spark.session import get_spark
+
+    block_range = int(os.environ.get("SPARK_GRAFT_BENCH_BLOCK_RANGE",
+                                     "1024"))
+    work = Path(tempfile.mkdtemp(prefix="ea_prune_"))
+    try:
+        spark = _session(CPUS)
+        src = str(work / "clustered")
+        gen_transcripts_df(spark, N_CONVS, partitions=CPUS * 2,
+                           clustered=True) \
+            .write.mode("overwrite").parquet(src)
+        idx = str(work / "idx")
+        IndexWriter(idx, block_range=block_range) \
+            .build(spark.read.parquet(src))
+        spark.stop()
+        spark = get_spark(app="bench-prune", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 8),
+                          extra={"spark.sql.adaptive.enabled": "false"})
+        reader = IndexReader(spark, idx)
+        queries = gen_cluster_query_set(N_CONVS)
+        reader.search(queries.head(1), prune=True).collect()  # warmup
+        out = {"n_convs": N_CONVS, "block_range": block_range}
+        for tag, prune in (("prune", True), ("noprune", False)):
+            secs = []
+            for _ in range(REPEATS):
+                acc = spark.sparkContext.accumulator(0)
+                t0 = time.time()
+                reader.search(queries, prune=prune,
+                              decode_acc=acc).collect()
+                secs.append(time.time() - t0)
+            out[f"batch_50_sec_{tag}"] = round(statistics.median(secs), 3)
+            out[f"batch_50_sec_{tag}_all"] = [round(x, 2) for x in secs]
+            out[f"decoded_ranges_{tag}"] = acc.value
+        out["decode_skip_pct"] = round(
+            100 * (1 - out["decoded_ranges_prune"]
+                   / max(1, out["decoded_ranges_noprune"])), 1)
+        results["prune_crossover"] = out
+        spark.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def write_baseline_md(results: dict) -> None:
     b = results["build"]
     q = results["query"]
@@ -237,6 +292,31 @@ warmup then {cl['repeats']} timed builds, median headline.
 {cl['scaling_efficiency_range']}; target ≥ 0.8) — the north-rule pair
 measured on genuine multi-executor topology, not a single-JVM
 stand-in.
+"""
+    pc = results.get("prune_crossover")
+    prune_md = ""
+    if pc:
+        prune_md = f"""
+## Block-max WAND crossover (clustered corpus, block_range={pc['block_range']})
+
+The uniform corpus above is pruning's WORST case (every term spread
+evenly over few, wide ranges). Real time-ordered transcripts have
+temporal/topical locality; datagen's `clustered` mode models it
+(epoch-local topic pools), indexed at block_range={pc['block_range']}
+({pc['n_convs']} convs) and queried with its frozen 50-query batch.
+The decoded-range accumulator counts actual posting-block decodes.
+
+| mode | batch-of-50 sec (median of {b['repeats']}) | all runs | decoded ranges |
+|---|---|---|---|
+| prune (block-max WAND) | {pc['batch_50_sec_prune']} | {pc['batch_50_sec_prune_all']} | {pc['decoded_ranges_prune']} |
+| no prune (exhaustive) | {pc['batch_50_sec_noprune']} | {pc['batch_50_sec_noprune_all']} | {pc['decoded_ranges_noprune']} |
+
+**Pruning skips {pc['decode_skip_pct']}% of block decodes** and the
+results are bit-identical (property-tested pruned == unpruned). At
+10^12 turns the skipped fraction grows with blocks per term while the
+per-block bound check stays O(blocks), so decode-skip ratio — not
+toy-scale wall clock — is the scale-relevant number; wall clock at
+this depth is reported for honesty.
 """
     md = f"""# BENCH/BASELINE — measured results
 
@@ -297,7 +377,7 @@ corpus scale (~2k docs per 65k-doc range, few blocks per term) pruning
 is ~break-even with exhaustive scoring — its payoff grows with blocks
 per term (corpus size), which is why exactness is property-tested
 (pruned == unpruned) rather than assumed from speed.
-
+{prune_md}
 ## Headline operator queries ({SF_DIR})
 
 | query | sec |
@@ -323,6 +403,7 @@ def main():
     t0 = time.time()
     results: dict = {"sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1]}
     bench_build_and_query(results)
+    bench_prune_crossover(results)
     bench_headline(results)
     total = round(time.time() - t0, 2)
     line = {
@@ -334,6 +415,7 @@ def main():
         "sf": results["sf"],
         "build": results["build"],
         "query_latency": results["query"],
+        "prune_crossover": results.get("prune_crossover"),
     }
     cluster = load_cluster_results()
     if cluster:

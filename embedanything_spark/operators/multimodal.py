@@ -4,14 +4,20 @@ columns with typed metadata (SURVEY.md §2 S2-S4, S12-S13, E1/E7).
 The reference decodes real media (whisper audio →
 ``rust/src/file_processor/audio/audio_processor.rs``, frame sampling →
 ``processors/src/video_processor.rs:1-145``, CLIP/ColPali image embeds
-→ ``rust/src/lib.rs:546-550``). The media libraries are not in this
-container, so the DECODE kernels are deterministic fakes behind a
-clearly-marked seam (``_decode_image_stub``) — the Spark-side plumbing
-(binaryFile-shaped schema, Arrow batch shape, partitioning, UDF
-signatures) is real and tested.
+→ ``rust/src/lib.rs:546-550``). Container ships no media libraries,
+but PNG / WAV / Y4M are decodable with stdlib zlib/wave + numpy
+(``mediacodecs``), so those kernels are REAL: actual pixel/sample/
+frame data drives the features. Formats needing native codecs (JPEG,
+MP3, MP4…) fall back to the deterministic hash-derived stub behind the
+same seam (``_decode_image_stub``); swap in PIL/ffmpeg there and
+nothing else changes. Dispatch is by magic bytes per item inside the
+Arrow batch.
 
-Swap the stub for PIL/ffmpeg/soundfile calls on a cluster with the
-libs installed; nothing else changes.
+Neural embeddings (CLIP et al.) stay out of scope: the "embedding" is
+a classical content feature — 8×8 block-mean luminance for images /
+pooled frames, pooled FFT magnitude spectrum for audio — L2-normalized
+so downstream cosine/LSH operators behave like they would on model
+embeddings.
 """
 
 from __future__ import annotations
@@ -22,6 +28,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from embedanything_spark import mediacodecs as mc
+
 # binaryFile source schema: path, modificationTime, length, content
 ASSET_SCHEMA = ("path string, modality string, length long, "
                 "content binary")
@@ -30,24 +38,64 @@ FEATURE_SCHEMA = ("path string, modality string, width int, height int, "
 EMBED_DIM = 64
 
 
-def synth_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media assets (binary payload = seeded bytes),
-    shaped exactly like spark.read.format('binaryFile') output."""
+def synth_assets(spark: SparkSession, n: int, seed: int = 42,
+                 real: bool = False) -> DataFrame:
+    """Deterministic media assets shaped exactly like
+    spark.read.format('binaryFile') output. ``real=False``: opaque
+    seeded bytes (exercises the stub fallback). ``real=True``: actual
+    PNG / WAV / Y4M payloads with closed-form content — image i is a
+    horizontal gradient (pixel[y,x] = v + x with v = i % 200), audio a
+    sine at a deterministic frequency, video k gradient frames — so
+    decode results are independently recomputable (the image oracle in
+    ``__spark_entry__`` derives width/height/luminance from the path
+    alone)."""
     mods = ["image", "audio", "video"]
 
     def gen(batches):
         for pdf in batches:
             rows = []
             for i in pdf["id"].to_numpy():
-                rng = np.random.default_rng((seed, int(i)))
-                mod = mods[int(i) % 3]
-                size = int(rng.integers(256, 4096))
-                rows.append((f"/assets/{mod}/{int(i):06d}.bin", mod,
-                             size, rng.bytes(size)))
+                i = int(i)
+                rng = np.random.default_rng((seed, i))
+                mod = mods[i % 3]
+                if not real:
+                    size = int(rng.integers(256, 4096))
+                    rows.append((f"/assets/{mod}/{i:06d}.bin", mod,
+                                 size, rng.bytes(size)))
+                    continue
+                if mod == "image":
+                    w, h, v = real_image_dims(i)
+                    img = (np.full((h, w), v, np.uint16) +
+                           np.arange(w, dtype=np.uint16)).astype(np.uint8)
+                    payload = mc.encode_png(img, filter_type=i % 5)
+                    ext = "png"
+                elif mod == "audio":
+                    tt = np.arange(1600, dtype=np.float64)
+                    freq = 100.0 + (i % 40) * 50.0
+                    payload = mc.encode_wav(
+                        (np.sin(2 * np.pi * freq * tt / 16000)
+                         * 18000).astype(np.int16))
+                    ext = "wav"
+                else:
+                    k = 4 + i % 5
+                    frames = (np.full((k, 16, 24), i % 100, np.uint16) +
+                              np.arange(24, dtype=np.uint16)
+                              ).astype(np.uint8)
+                    payload = mc.encode_y4m(frames)
+                    ext = "y4m"
+                rows.append((f"/assets/{mod}/{i:06d}.{ext}", mod,
+                             len(payload), payload))
             yield pd.DataFrame(rows, columns=["path", "modality",
                                               "length", "content"])
 
     return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def real_image_dims(i: int) -> tuple[int, int, int]:
+    """(width, height, base value) of synth real image i — closed form
+    shared with the SQL oracle (multiples of 8 so the 8×8 block grid
+    divides exactly; v + x ≤ 199 + 55 < 256, no wraparound)."""
+    return 32 + 8 * (i % 4), 24 + 8 * (i % 3), i % 200
 
 
 def _decode_image_stub(content: bytes) -> tuple[int, int, np.ndarray]:
@@ -72,11 +120,64 @@ def _decode_image_stub(content: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, vec
 
 
+def _image_block_embedding(img: np.ndarray) -> np.ndarray:
+    """8×8 grid of block-mean luminance → EMBED_DIM(=64) vector in
+    [0,1], L2-normalized. Channels are averaged first (luminance)."""
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    rows = np.array_split(img.astype(np.float64), 8, axis=0)
+    comps = np.array([blk.mean() for r in rows
+                      for blk in np.array_split(r, 8, axis=1)]) / 255.0
+    n = np.linalg.norm(comps)
+    return (comps / n if n else comps).astype(np.float32)
+
+
+def _audio_embedding(samples: np.ndarray) -> np.ndarray:
+    """|rFFT| magnitude spectrum pooled into EMBED_DIM equal bands,
+    L2-normalized — a classical spectral signature (the whisper slot's
+    deterministic stand-in, but computed from the REAL samples)."""
+    if samples.ndim == 2:
+        samples = samples.mean(axis=1)
+    mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    bands = np.array([b.mean() if len(b) else 0.0
+                      for b in np.array_split(mag, EMBED_DIM)])
+    n = np.linalg.norm(bands)
+    return (bands / n if n else bands).astype(np.float32)
+
+
+def _decode_asset(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Magic-byte dispatch → (width, height, n_frames, embedding).
+    PNG/WAV/Y4M decode for real (``mediacodecs``); anything else falls
+    back to the deterministic stub. Video frame sampling: every Nth
+    frame, cap 10 (config.rs:189-191) — skipped frames are never
+    materialized, only byte offsets advance."""
+    if content.startswith(mc.PNG_SIG):
+        img = mc.decode_png(content)
+        h, w = img.shape[:2]
+        return w, h, 1, _image_block_embedding(img)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        rate, samples = mc.decode_wav(content)
+        n = len(samples)
+        return n, (1 if samples.ndim == 1 else samples.shape[1]), 1, \
+            _audio_embedding(samples)
+    if content.startswith(mc.Y4M_SIG):
+        probe_w, probe_h, total, _ = mc.decode_y4m(
+            content, sample_every=10**9)   # header-only pass
+        step = max(1, -(-total // 10))     # every Nth, cap 10
+        w, h, total, frames = mc.decode_y4m(content, sample_every=step,
+                                            max_frames=10)
+        emb = _image_block_embedding(
+            frames.astype(np.float64).mean(axis=0))
+        return w, h, len(frames), emb
+    w, h, vec = _decode_image_stub(content)
+    return w, h, min(10, max(1, len(content) // 512)), vec
+
+
 def extract_features(assets: DataFrame,
                      batch_partitions: int | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow binary batches).
-    Frame-sampling semantics for video: n_frames = every-Nth cap 10
-    (config.rs:189-191)."""
+    Real decode for PNG/WAV/Y4M payloads, stub for opaque formats —
+    per-item dispatch inside the batch, see ``_decode_asset``."""
     df = assets
     if batch_partitions:
         df = df.repartition(batch_partitions)
@@ -86,15 +187,44 @@ def extract_features(assets: DataFrame,
             out = []
             for path, mod, content in zip(pdf["path"], pdf["modality"],
                                           pdf["content"]):
-                w, h, vec = _decode_image_stub(bytes(content))
-                n_frames = min(10, max(1, len(content) // 512)) \
-                    if mod == "video" else 1
+                content = bytes(content)
+                w, h, n_frames, vec = _decode_asset(content)
+                if mod != "video" and not (
+                        content.startswith(mc.PNG_SIG)
+                        or content[:4] == b"RIFF"
+                        or content.startswith(mc.Y4M_SIG)):
+                    n_frames = 1
                 out.append((path, mod, w, h, n_frames, vec.tolist()))
             yield pd.DataFrame(out, columns=["path", "modality", "width",
                                              "height", "n_frames",
                                              "embedding"])
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = "path string, width int, height int, lum2 long"
+
+
+def image_stats(assets: DataFrame) -> DataFrame:
+    """REAL-decode oracle surface: PNG → (path, width, height,
+    lum2 = round(2 × mean luminance)). Integer-exact (the synth
+    gradient's mean is v + (w-1)/2, a multiple of 0.5), so the DuckDB
+    oracle recomputes it from the path id with zero float risk while
+    the value still requires an actual zlib inflate + unfilter of the
+    actual pixels."""
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = mc.decode_png(bytes(content))
+                h, w = img.shape[:2]
+                lum = img.astype(np.float64).mean()
+                out.append((path, w, h, int(round(2 * lum))))
+            yield pd.DataFrame(out, columns=["path", "width", "height",
+                                             "lum2"])
+
+    return (assets.filter(F.col("modality") == "image")
+            .mapInPandas(run, schema=IMAGE_STATS_SCHEMA))
 
 
 N_PLANES = 32  # total hyperplanes
