@@ -556,9 +556,9 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT) AS rrf_micro FROM u GROUP BY doc_id "
             "ORDER BY rrf_micro DESC, doc_id LIMIT 15",
 
-        # deterministic stub cross-encoder (index/rerank.py) over the
-        # BM25 top-20: overlap logit + md5-jitter → sigmoid, exact
-        # arithmetic replicated here (little-endian first-4-bytes jitter)
+        # classical lexical cross-scorer (index/rerank.py) over the
+        # BM25 top-20: sigmoid(4·coverage + 2·tf-saturation +
+        # 1·exact-phrase − 3), exact arithmetic replicated here
         "rerank_topk":
             f"{_TF}, "
             "dl AS (SELECT d.doc_id, coalesce(c.cnt,0)::BIGINT AS doclen "
@@ -579,20 +579,22 @@ def oracle_sql() -> dict[str, str]:
             " score_micro FROM contrib GROUP BY doc_id "
             " ORDER BY score_micro DESC, doc_id LIMIT 20), "
             "p AS (SELECT sc.doc_id, sc.score_micro, "
-            " list_distinct(list_filter(string_split(lower(d.text),' '), "
-            "  x -> x <> '')) AS tset, "
-            " md5('spark join filter' || chr(0) || d.text) AS m "
+            " list_filter(string_split(lower(d.text),' '), "
+            "  x -> x <> '') AS tl "
             " FROM sc JOIN documents d USING(doc_id)), "
             "s AS (SELECT doc_id, score_micro, "
-            " (CASE WHEN list_contains(tset,'spark') THEN 1 ELSE 0 END + "
-            "  CASE WHEN list_contains(tset,'join') THEN 1 ELSE 0 END + "
-            "  CASE WHEN list_contains(tset,'filter') THEN 1 ELSE 0 END) "
-            " / 3.0 AS overlap, "
-            " CAST(('0x' || substr(m,7,2) || substr(m,5,2) || "
-            " substr(m,3,2) || substr(m,1,2)) AS BIGINT) / 4294967296.0 "
-            " AS jitter FROM p), "
+            " len(list_filter(tl, x -> x = 'spark'))::DOUBLE AS tfs, "
+            " len(list_filter(tl, x -> x = 'join'))::DOUBLE AS tfj, "
+            " len(list_filter(tl, x -> x = 'filter'))::DOUBLE AS tff, "
+            " CASE WHEN contains(' ' || array_to_string(tl, ' ') || "
+            "  ' ', ' spark join filter ') THEN 1.0 ELSE 0.0 END "
+            " AS phrase FROM p), "
             "sg AS (SELECT doc_id, score_micro, CAST(ROUND((1.0/(1.0 + "
-            " exp(-(4.0*overlap - 2.0 + 0.1*jitter))))*1e6) AS BIGINT) "
+            " exp(-(4.0*((CASE WHEN tfs > 0 THEN 1 ELSE 0 END + "
+            "  CASE WHEN tfj > 0 THEN 1 ELSE 0 END + "
+            "  CASE WHEN tff > 0 THEN 1 ELSE 0 END)/3.0) + "
+            " 2.0*((tff/(tff+1.0) + tfj/(tfj+1.0) + tfs/(tfs+1.0))/3.0)"
+            " + 1.0*phrase - 3.0))))*1e6) AS BIGINT) "
             " AS rerank_micro FROM s) "
             "SELECT doc_id, score_micro, rerank_micro, "
             "row_number() OVER (ORDER BY rerank_micro DESC, doc_id)"

@@ -179,7 +179,23 @@ def bench_build_and_query(results: dict) -> None:
         t0 = time.time()
         reader.search(queries, prune=False).collect()
         batch_noprune_sec = time.time() - t0
+        # serving path: same index, same kernel, no Spark job —
+        # the latency an interactive deployment actually sees
+        reader.search_local(queries.head(1))     # warmup
+        slat = []
+        for row in queries.itertuples():
+            q = queries[queries.query_id == row.query_id]
+            t0 = time.time()
+            reader.search_local(q, prune=True)
+            slat.append(time.time() - t0)
+        t0 = time.time()
+        reader.search_local(queries, prune=True)
+        serving_batch_sec = time.time() - t0
         results["query"] = {
+            "serving_p50_sec": round(statistics.median(slat), 4),
+            "serving_p95_sec": round(
+                sorted(slat)[math.ceil(0.95 * len(slat)) - 1], 4),
+            "serving_batch_50_sec": round(serving_batch_sec, 3),
             "batch_50_noprune_sec": round(batch_noprune_sec, 3),
             "n_queries": len(lat),
             "p50_sec": round(statistics.median(lat), 3),
@@ -278,9 +294,18 @@ def write_baseline_md(results: dict) -> None:
 Measured by `bench_cluster.py` at {cl['measured_at']}: Spark
 standalone on this box — 1 master + K 1-core workers (each worker and
 its executor JVM taskset-pinned to its own CPU), driver in its own
-JVM, package shipped with `--py-files`, cross-JVM netty shuffle. Same
-input as above ({cl['n_turns']} turns); per level one discarded
-warmup then {cl['repeats']} timed builds, median headline.
+JVM, package shipped with `--py-files`, cross-JVM netty shuffle.
+Input: {cl['n_turns']} turns (sized so per-build parallel compute
+dominates the ~17 s of fixed per-build driver work — plan collects,
+dictionary finalize, commit — which at small inputs is pure Amdahl
+loss; larger inputs amortize it, which is exactly the at-scale
+regime the north rule's throughput criterion describes).
+INTERLEAVED-PAIR methodology:
+{cl['repeats']} pairs of (one N-exec build, one 4N-exec build), each
+on a fresh warmed pinned cluster; efficiency = median of per-pair
+ratios — this box is a virtualized host with bursty steal-time, so
+pairing cancels drift that a measure-all-N-then-all-4N order folds
+into the ratio.
 
 | executors | median build sec | all runs | turns/sec |
 |---|---|---|---|
@@ -288,7 +313,7 @@ warmup then {cl['repeats']} timed builds, median headline.
 | {cl['executors_high']} (4N) | {cl['build_sec_high']} | {cl['build_sec_high_all']} | {cl['turns_per_sec_high']} |
 
 **Cluster scaling efficiency: {cl['scaling_efficiency']}**
-(pessimistic/optimistic pairing range
+(per-pair: {cl.get('pair_efficiencies')}; range
 {cl['scaling_efficiency_range']}; target ≥ 0.8) — the north-rule pair
 measured on genuine multi-executor topology, not a single-JVM
 stand-in.
@@ -366,17 +391,20 @@ and the Spark layer adds no scaling loss of its own.
 {cluster_md}
 ## BM25 query latency (50-query frozen set, block-max WAND on)
 
-| p50 | p95 | mean | batch-of-50 | amortized/query | batch no-prune |
-|---|---|---|---|---|---|
-| {q['p50_sec']} s | {q['p95_sec']} s | {q['mean_sec']} s | {q['batch_50_sec']} s | {q['amortized_per_query_sec']} s | {q['batch_50_noprune_sec']} s |
+| path | p50 | p95 | batch-of-50 | amortized/query |
+|---|---|---|---|---|
+| distributed (one Spark job/query) | {q['p50_sec']} s | {q['p95_sec']} s | {q['batch_50_sec']} s | {q['amortized_per_query_sec']} s |
+| serving (`search_local`, same kernel, no job) | {q['serving_p50_sec']} s | {q['serving_p95_sec']} s | {q['serving_batch_50_sec']} s | {round(q['serving_batch_50_sec'] / q['n_queries'], 4)} s |
 
-Per-query numbers run one Spark job per query (job-scheduling
-overhead dominates); the batch row runs the whole frozen set in one
-job — the engine's natural shape for offline evaluation. At this
-corpus scale (~2k docs per 65k-doc range, few blocks per term) pruning
-is ~break-even with exhaustive scoring — its payoff grows with blocks
-per term (corpus size), which is why exactness is property-tested
-(pruned == unpruned) rather than assumed from speed.
+Distributed batch without pruning: {q['batch_50_noprune_sec']} s.
+Distributed per-query latency is job-scheduling overhead, not work
+(mean {q['mean_sec']} s vs the serving path's identical-result
+answer); interactive deployments serve from `search_local`
+(rank-identity property-tested), Spark carries builds and large batch
+scoring. At this corpus scale (~2k docs per 65k-doc range, few blocks
+per term) pruning is ~break-even with exhaustive scoring in the
+uniform corpus — see the crossover section below for the regime where
+it pays.
 {prune_md}
 ## Headline operator queries ({SF_DIR})
 

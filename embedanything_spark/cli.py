@@ -57,6 +57,10 @@ def main(argv=None):
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--no-prune", action="store_true",
                    help="disable block-max pruning (debug)")
+    q.add_argument("--distributed", action="store_true",
+                   help="run the query as a Spark job (default: the "
+                        "driver-side serving path, rank-identical and "
+                        "~ms instead of job-scheduling seconds)")
     q.add_argument("--rerank", metavar="TRANSCRIPTS",
                    help="cross-encoder rerank stage (reference query "
                         "path step 3); needs the transcripts parquet "
@@ -66,7 +70,19 @@ def main(argv=None):
                         "committed batch (snapshot read on the "
                         "lineage manifest)")
 
+    s = sub.add_parser("serve", help="HTTP serving tier (no Spark/JVM "
+                                     "in the process — search_local + "
+                                     "OpenAI-shaped /v1/embeddings)")
+    s.add_argument("--index", help="committed index root (omit to "
+                                   "serve only /health + embeddings)")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8080)
+
     args = p.parse_args(argv)
+    if args.cmd == "serve":
+        from embedanything_spark.server import serve
+        serve(args.index, args.host, args.port)
+        return
     from embedanything_spark.session import get_spark
     spark = get_spark(app=f"ea-cli-{args.cmd}", master=args.master)
     try:
@@ -115,12 +131,16 @@ def main(argv=None):
                 "query_id": range(len(args.query)),
                 "query_text": args.query,
                 "k": [args.k] * len(args.query)})
-            res = IndexReader(spark, args.index, asof=args.asof).search(
-                qp, prune=not args.no_prune)
-            if args.rerank:
-                from embedanything_spark.index.rerank import rerank
-                res = rerank(res, qp, spark.read.parquet(args.rerank))
-            out = res.toPandas()
+            reader = IndexReader(spark, args.index, asof=args.asof)
+            if args.rerank or args.distributed:
+                res = reader.search(qp, prune=not args.no_prune)
+                if args.rerank:
+                    from embedanything_spark.index.rerank import rerank
+                    res = rerank(res, qp,
+                                 spark.read.parquet(args.rerank))
+                out = res.toPandas()
+            else:
+                out = reader.search_local(qp, prune=not args.no_prune)
             for r in out.itertuples(index=False):
                 rec = {"query_id": int(r.query_id),
                        "rank": int(r.rank),

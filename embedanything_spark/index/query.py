@@ -3,9 +3,10 @@
 Distributed plan:
 
   query terms (tiny, driver-side tokenize — same frozen analyzer)
-    → dictionary lookup: parquet scan filtered term IN (...) — file/
-      row-group pruned (dictionary files are term-sorted)
-    → postings scan filtered term IN (...) — same pruning
+    → dictionary df lookup DRIVER-SIDE (pyarrow over the term-sorted
+      dictionary, row-group pruned; ships in the kernel closure — no
+      dictionary scan or broadcast join inside the Spark job)
+    → postings scan filtered term IN (...) — file/row-group pruned
     → repartition(hash(range_id)): every doc's blocks for ALL query
       terms are co-located (blocks are doc-range-aligned), so scoring
       is partition-local
@@ -15,6 +16,12 @@ Distributed plan:
     → docmap fetch with the surviving doc_ids pushed into the scan
       (In + min/max range filters; docmap files are doc_id-ordered so
       row-group pruning reads O(Σk), not O(corpus)).
+
+Serving plan (``search_local``): identical lookups and the identical
+scoring kernel, executed driver-side over pyarrow reads — the
+low-latency path a deployment serves interactive queries from (ms,
+not Spark-job seconds); rank-identical to the distributed plan by
+construction and by test.
 
 Block-max pruning (the engine's one genuinely novel operator —
 SURVEY.md §4 item 4): within a partition, per query, ranges are
@@ -81,10 +88,14 @@ _MAX_CACHED_BLOCKS = 8192
 
 
 def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
-                             prune: bool, decode_acc=None):
-    """qinfo: {query_id: {"k": int, "terms": [term, ...]}}. Each block
-    row arrives with its term's global df (broadcast dictionary join),
-    so idf is computed here — no separate dictionary round-trip.
+                             prune: bool, decode_acc=None,
+                             dfs: dict | None = None):
+    """qinfo: {query_id: {"k": int, "terms": [term, ...]}}. Per-term
+    global df arrives either as a ``df`` column on the block rows or
+    via ``dfs`` ({term: df}, resolved driver-side from the term-sorted
+    dictionary — a few row groups for a few dozen terms — and shipped
+    in the closure, which keeps the dictionary scan + broadcast join
+    OUT of the per-query Spark job entirely).
     ``decode_acc``: optional Spark accumulator counting DECODED ranges
     (pruning-effectiveness instrumentation).
 
@@ -103,12 +114,23 @@ def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
+        if "df" not in pdf.columns:
+            # same semantics as the former inner dictionary join:
+            # a block whose term has no dictionary row (possible
+            # mid-maintenance) is skipped, not scored with a bad idf
+            pdf = pdf[pdf["term"].isin(dfs)].reset_index(drop=True)
+            if not len(pdf):
+                return
         # stable term-major sort: per-query selections concatenate
         # per-term slices in sorted-term order, fixing the per-doc
         # float summation order (term-ascending, as before)
         pdf = pdf.sort_values("term", kind="stable", ignore_index=True)
         term_arr = pdf["term"].to_numpy(object)
-        idf = _idf(n_docs, pdf["df"].to_numpy(np.float64))
+        if "df" in pdf.columns:
+            df_arr = pdf["df"].to_numpy(np.float64)
+        else:
+            df_arr = np.array([dfs[t] for t in term_arr], np.float64)
+        idf = _idf(n_docs, df_arr)
         # per-block upper-bound contribution: classic
         # idf · impact(max_tf, min_dl), tightened by the avgdl-ladder
         # max-impact bound when present (build.py module doc) — pick
@@ -240,6 +262,130 @@ class IndexReader:
                              avgdl=(int(tok or 0) / n_docs) if n_docs
                              else 0.0)
 
+    def _term_dfs(self, terms: list[str]) -> dict:
+        """Driver-side per-term document frequency: a pyarrow read of
+        the term-sorted dictionary filtered to the query terms —
+        row-group statistics prune everything but the few groups
+        holding them (the classic term-lookup a serving tier does
+        against the dictionary, O(row groups touched), never
+        O(dictionary)). Time-travel reads derive df from the included
+        batches' block metadata instead (the finalized dictionary is
+        global): per-term Σn over (term, n) block rows — term-pushed
+        and tiny at fixture scale; at extreme scale prefer querying a
+        snapshot that has been finalized."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        if self.asof is None:
+            files = sorted(
+                str(p) for p in (self.root / "dictionary").glob("*.parquet"))
+            tbl = (pads.dataset(files, format="parquet")
+                   .to_table(columns=["term", "df"],
+                             filter=pc.field("term").isin(terms)))
+            return dict(zip(tbl["term"].to_pylist(),
+                            tbl["df"].to_pylist()))
+        files = [str(f) for d in table_paths(self.root, "postings",
+                                             self.asof)
+                 for f in sorted(Path(d).glob("*.parquet"))]
+        tbl = (pads.dataset(files, format="parquet")
+               .to_table(columns=["term", "n"],
+                         filter=pc.field("term").isin(terms)))
+        pdf = tbl.to_pandas()
+        if pdf.empty:
+            return {}
+        return pdf.groupby("term")["n"].sum().astype(int).to_dict()
+
+    def search_local(self, queries: pd.DataFrame,
+                     prune: bool = True) -> pd.DataFrame:
+        """SERVING path: the same index, the same scoring kernel, the
+        same results — no Spark job. Interactive single-query latency
+        through ``search`` is dominated by job scheduling (p50 ≈ 1 s
+        against ≈ 70 ms of actual work, BENCH/BASELINE.md); a real
+        deployment answers queries from a serving tier that reads the
+        index storage directly, which is exactly what this does:
+
+          * dictionary df lookup — pyarrow, term-pushed, row-group
+            pruned (``_term_dfs``),
+          * postings blocks for the query terms — pyarrow, the same
+            ``term IN (...)`` pushdown the distributed scan uses,
+          * the IDENTICAL `_score_partition_factory` numpy sweep over
+            one global "partition" (every candidate block is present,
+            so its per-partition top-k IS the global top-k),
+          * docmap fetch — pyarrow, ``doc_id`` min/max + IN pushdown
+            over the doc_id-ordered docmap files.
+
+        Exactness: rank-identical to ``search`` (property-tested);
+        block-max pruning still applies, so decodes stay bounded by
+        the same upper-bound sweep. Scale envelope: postings fetch is
+        Σ_term blocks(term) rows — fine for interactive k≪corpus
+        queries even at large corpora (that is what block-max indexes
+        are for); batch scoring of thousands of queries should use
+        ``search`` where the same kernel runs partition-parallel.
+
+        Returns a pandas DataFrame with ``search``'s result columns.
+        """
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        qinfo = {}
+        all_terms: set[str] = set()
+        for r in queries.itertuples():
+            terms = sorted(set(tokenize(r.query_text)))
+            if terms:
+                qinfo[int(r.query_id)] = {"k": int(r.k), "terms": terms}
+                all_terms.update(terms)
+        empty = pd.DataFrame({
+            "query_id": pd.Series(dtype="int32"),
+            "rank": pd.Series(dtype="int32"),
+            "doc_id": pd.Series(dtype="int64"),
+            "conv_id": pd.Series(dtype=object),
+            "turn_idx": pd.Series(dtype="int32"),
+            "score": pd.Series(dtype="float64")})
+        if not qinfo:
+            return empty
+        dfs = self._term_dfs(sorted(all_terms))
+        pfiles = [str(f) for d in table_paths(self.root, "postings",
+                                              self.asof)
+                  for f in sorted(Path(d).glob("*.parquet"))]
+        need = ["term", "range_id", "min_doc", "max_tf", "min_dl",
+                "doc_bytes", "tf_bytes", "dl_bytes", "max_impact"]
+        dset = pads.dataset(pfiles, format="parquet")
+        cols = [c for c in need if c in dset.schema.names]
+        blocks = (dset.to_table(columns=cols,
+                                filter=pc.field("term")
+                                .isin(sorted(all_terms)))
+                  .to_pandas())
+        if blocks.empty:
+            return empty
+        kernel = _score_partition_factory(
+            qinfo, self.meta["n_docs"], self.meta["avgdl"], prune,
+            dfs=dfs)
+        parts = list(kernel([blocks]))
+        if not parts:
+            return empty
+        cands = pd.concat(parts, ignore_index=True)
+        if cands.empty:
+            return empty
+        # per-query rank over the ≤k survivors (kernel already merged
+        # to global top-k — one partition held every block)
+        cands = cands.sort_values(
+            ["query_id", "score", "doc_id"],
+            ascending=[True, False, True], ignore_index=True)
+        cands["rank"] = cands.groupby("query_id").cumcount() + 1
+        ids = sorted(cands["doc_id"].unique().tolist())
+        dfiles = [str(f) for d in table_paths(self.root, "docmap",
+                                              self.asof)
+                  for f in sorted(Path(d).glob("*.parquet"))]
+        dm = (pads.dataset(dfiles, format="parquet")
+              .to_table(columns=["doc_id", "conv_id", "turn_idx"],
+                        filter=(pc.field("doc_id") >= ids[0])
+                        & (pc.field("doc_id") <= ids[-1])
+                        & pc.field("doc_id").isin(ids))
+              .to_pandas())
+        out = cands.merge(dm, on="doc_id", how="inner")
+        return (out[_RESULT_COLS]
+                .sort_values(["query_id", "rank"], ignore_index=True)
+                .astype({"query_id": "int32", "rank": "int32",
+                         "turn_idx": "int32"}))
+
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, conv_id string, "
@@ -260,35 +406,33 @@ class IndexReader:
         if not qinfo:
             return self._empty()
 
-        # dictionary df rides along via a broadcast join (term-sorted
-        # dictionary files → row-group pruned scan); unseen terms simply
-        # join away — ONE Spark job end-to-end. Time-travel reads
-        # derive df from the included batches' block metadata instead
-        # of the (global) finalized dictionary — still term-pushed and
-        # tiny, same single-job plan.
-        if self.asof is None:
-            dictf = (self.spark.read
-                     .parquet(str(self.root / "dictionary"))
-                     .filter(F.col("term").isin(sorted(all_terms)))
-                     .select("term", "df"))
-        else:
-            dictf = (self.spark.read
-                     .parquet(*table_paths(self.root, "postings",
-                                           self.asof))
-                     .filter(F.col("term").isin(sorted(all_terms)))
-                     .groupBy("term").agg(F.sum("n").alias("df")))
+        # per-term df resolves DRIVER-SIDE from the term-sorted
+        # dictionary (pyarrow, row-group pruned — a few row groups for
+        # a few dozen terms) and ships in the kernel closure: the
+        # per-query Spark job is postings scan → one exchange →
+        # score, with no dictionary scan and no broadcast join stage.
+        # Unseen terms simply resolve to no df / no blocks.
+        dfs = self._term_dfs(sorted(all_terms))
         n_buckets = num_buckets or \
             self.spark.sparkContext.defaultParallelism
-        blocks = (self.spark.read
-                  .parquet(*table_paths(self.root, "postings",
-                                        self.asof))
+        raw = self.spark.read.parquet(
+            *table_paths(self.root, "postings", self.asof))
+        # project to the kernel's columns BEFORE the exchange: the
+        # batch dir is a kind-partitioned union table, so an unpruned
+        # scan drags every docmap/lineage column (NULL for block rows)
+        # through the shuffle and the Arrow boundary
+        keep = [c for c in ("term", "range_id", "min_doc", "max_tf",
+                            "min_dl", "doc_bytes", "tf_bytes",
+                            "dl_bytes", "max_impact")
+                if c in raw.columns]
+        blocks = (raw
                   .filter(F.col("term").isin(sorted(all_terms)))
-                  .join(F.broadcast(dictf), "term")
+                  .select(*keep)
                   .repartition(n_buckets, "range_id"))
         cands = blocks.mapInPandas(
             _score_partition_factory(qinfo, self.meta["n_docs"],
                                      self.meta["avgdl"], prune,
-                                     decode_acc),
+                                     decode_acc, dfs=dfs),
             schema=_CAND_SCHEMA)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id"))

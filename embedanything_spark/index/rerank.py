@@ -7,16 +7,20 @@ scores + sigmoid), then reassemble ranks (`DocumentRank`, `:244-276`).
 
 The Spark restatement: candidates join back to docmap text → Arrow-
 batched pandas UDF scores the pairs → row_number window reassigns
-ranks with the same deterministic tie-break. The CROSS-ENCODER KERNEL
-IS A STUB (deterministic token-overlap + md5 jitter — the container
-has no model runtime); swap ``_cross_score_batch`` for an ONNX/torch
-call and nothing else changes. The plumbing (pair batching, sigmoid,
-rank assembly, ordering) is real and tested.
+ranks with the same deterministic tie-break. The kernel is a REAL
+classical lexical cross-scorer — query-term coverage, BM25-style tf
+saturation, and an exact-phrase interaction feature, combined through
+a sigmoid like the reference's logit path (model.rs:239). These are
+genuine query×document interaction features (the cross-encoder
+family's defining property), computable without a model runtime; a
+NEURAL cross-encoder (ONNX/torch forward per Arrow batch, model.rs:
+216-241) swaps in at the same ``_cross_score_batch`` seam and nothing
+else changes.
 """
 
 from __future__ import annotations
 
-import hashlib
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -28,18 +32,31 @@ from embedanything_spark.analyzer import tokenize
 _PAIR_SCHEMA = ("query_id int, doc_id long, conv_id string, "
                 "turn_idx int, score double, rerank_score double")
 
+# logit weights: coverage dominates, tf saturation refines within
+# full-coverage ties, exact phrase is a fixed bonus. Deterministic and
+# documented so the DuckDB oracle reproduces scores bit-for-bit.
+_W_COVER, _W_SAT, _W_PHRASE, _BIAS = 4.0, 2.0, 1.0, 3.0
+
 
 def _cross_score_batch(queries: pd.Series, texts: pd.Series) -> np.ndarray:
-    """STUB cross-encoder: deterministic overlap logit → sigmoid.
-    Real impl: tokenizer + cross-encoder forward per Arrow batch
-    (exactly the reference's ort batch loop, model.rs:216-241)."""
+    """Classical lexical cross-scorer over (query, doc) pairs:
+    coverage = |q∩d| / |q|, saturation = Σ_{t∈q∩d} tf_t/(tf_t+1) / |q|
+    (BM25's tf shape at k1=1), phrase = 1 if the normalized query is a
+    contiguous token subsequence of the doc. sigmoid(4·cover + 2·sat
+    + 1·phrase − 3)."""
     out = np.empty(len(queries), dtype=np.float64)
     for i, (q, t) in enumerate(zip(queries, texts)):
-        qt, tt = set(tokenize(q)), set(tokenize(t or ""))
-        overlap = len(qt & tt) / max(len(qt), 1)
-        h = hashlib.md5(f"{q}\x00{t}".encode()).digest()
-        jitter = int.from_bytes(h[:4], "little") / 2**32
-        logit = 4.0 * overlap - 2.0 + 0.1 * jitter
+        qt = tokenize(q)
+        dt = tokenize(t or "")
+        quniq = sorted(set(qt))   # fixed iteration → fixed f64 order
+        tf = Counter(dt)
+        nq = max(len(quniq), 1)
+        cover = sum(1 for w in quniq if tf[w]) / nq
+        sat = sum(tf[w] / (tf[w] + 1.0) for w in quniq if tf[w]) / nq
+        phrase = 1.0 if qt and \
+            f" {' '.join(qt)} " in f" {' '.join(dt)} " else 0.0
+        logit = (_W_COVER * cover + _W_SAT * sat +
+                 _W_PHRASE * phrase - _BIAS)
         out[i] = 1.0 / (1.0 + np.exp(-logit))  # sigmoid (model.rs:239)
     return out
 

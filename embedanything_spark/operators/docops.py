@@ -240,9 +240,10 @@ def hybrid_rrf(spark, sf_dir):
 def rerank_topk(spark, sf_dir):
     """T1/J1 — cross-encoder rerank of the BM25 top-20 as a driver
     entry (reranker/model.rs:139-276). The kernel is the repo's
-    deterministic stub cross-encoder (token-overlap logit + md5-jitter
-    → sigmoid, index/rerank.py) scored over Arrow batches; its exact
-    arithmetic is reproduced in the DuckDB oracle."""
+    classical lexical cross-scorer (coverage + tf-saturation +
+    exact-phrase → sigmoid, index/rerank.py) scored over Arrow
+    batches; its exact arithmetic is reproduced in the DuckDB
+    oracle."""
     import pandas as pd
 
     from embedanything_spark.index.rerank import _cross_score_batch

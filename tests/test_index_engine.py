@@ -50,6 +50,33 @@ def test_pruned_equals_unpruned(reader, queries_pdf):
         a.reset_index(drop=True), b.reset_index(drop=True))
 
 
+def test_search_local_rank_identity(reader, queries_pdf, golden_topk):
+    """The serving path (driver-side pyarrow + the same kernel) is
+    rank-identical to the distributed plan and the golden oracle,
+    pruned and unpruned."""
+    got = reader.search_local(queries_pdf, prune=True)
+    assert_rank_identical(got, golden_topk)
+    a = reader.search_local(queries_pdf, prune=True)
+    b = reader.search_local(queries_pdf, prune=False)
+    pd.testing.assert_frame_equal(a, b)
+    dist = (reader.search(queries_pdf, prune=True).toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True))
+    pd.testing.assert_frame_equal(
+        a[dist.columns].reset_index(drop=True), dist,
+        check_dtype=False)
+
+
+def test_search_local_edge_queries(reader):
+    """Empty, unseen-term and whitespace queries return cleanly."""
+    q = pd.DataFrame({"query_id": [0, 1, 2],
+                      "query_text": ["", "zz_never_a_term", "   "],
+                      "k": [5, 5, 5]})
+    out = reader.search_local(q)
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "rank", "doc_id",
+                                 "conv_id", "turn_idx", "score"]
+
+
 def test_parallelism_invariance(spark, tmp_path, transcripts_df,
                                 queries_pdf, index_dir, golden_topk):
     """Same build at different parallelism → identical dictionary,

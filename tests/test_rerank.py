@@ -13,7 +13,26 @@ def test_kernel_deterministic_and_bounded():
     s2 = _cross_score_batch(q, t)
     np.testing.assert_array_equal(s1, s2)
     assert ((s1 > 0) & (s1 < 1)).all()
-    assert s1[0] > s1[1]  # overlap dominates the stub logit
+    assert s1[0] > s1[1]  # coverage dominates the logit
+
+
+def test_kernel_feature_ordering():
+    """phrase > scrambled > partial > none; tf saturation breaks
+    full-coverage ties; closed-form check of one score."""
+    q = pd.Series(["apple pie"] * 4)
+    t = pd.Series(["fresh apple pie today",      # exact phrase
+                   "pie of apple",               # full coverage, no phrase
+                   "apple only here",            # partial coverage
+                   "nothing relevant at all"])   # none
+    s = _cross_score_batch(q, t)
+    assert s[0] > s[1] > s[2] > s[3]
+    # saturation: repeated query terms score higher at equal coverage
+    r = _cross_score_batch(pd.Series(["apple pie"] * 2),
+                           pd.Series(["apple pie", "apple apple pie pie"]))
+    assert r[1] > r[0]
+    # closed form for "pie of apple": cover=1, sat=(1/2+1/2)/2=.5,
+    # phrase=0 → sigmoid(4 + 1 - 3) = sigmoid(2)
+    assert abs(s[1] - 1.0 / (1.0 + np.exp(-2.0))) < 1e-12
 
 
 def test_rerank_pipeline(spark, tmp_path, transcripts_df, queries_pdf):
