@@ -146,3 +146,62 @@ def test_decode_documents_unknown_extension_still_raises(spark, tmp_path):
     files = scan_files(spark, str(tmp_path), extensions=("epub",))
     with pytest.raises(NotImplementedError):
         decode_documents(files)
+
+
+# ------------------------------------------------ property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.sampled_from([1, 3, 4]),
+       st.integers(0, 4), st.integers(0, 2**32 - 1))
+def test_png_roundtrip_property(h, w, ch, ft, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = mc.decode_png(mc.encode_png(img, filter_type=ft))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=500),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_property(samples, rate):
+    s = np.array(samples, dtype=np.int16)
+    got_rate, got = mc.decode_wav(mc.encode_wav(s, rate))
+    assert got_rate == rate and (got == s).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 16), st.integers(1, 16),
+       st.integers(1, 5), st.integers(0, 2**32 - 1))
+def test_y4m_sampling_matches_numpy_slicing(n, h, w, step, seed):
+    frames = np.random.default_rng(seed).integers(
+        0, 256, (n, h, w), dtype=np.uint8)
+    gw, gh, gn, samp = mc.decode_y4m(mc.encode_y4m(frames),
+                                     sample_every=step)
+    assert (gw, gh, gn) == (w, h, n)
+    assert (samp == frames[::step]).all()
+
+
+_pdf_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=40)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_pdf_text, min_size=1, max_size=4))
+def test_pdf_roundtrip_property(lines):
+    # the subset extractor joins show-ops with single spaces
+    assert mc.pdf_to_text(mc.make_pdf(lines)) == " ".join(lines)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                           exclude_characters="\x7f"),
+    min_size=0, max_size=40), min_size=1, max_size=4))
+def test_docx_roundtrip_property(paras):
+    assert mc.docx_to_text(mc.make_docx(paras)) == "\n".join(paras)
