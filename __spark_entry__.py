@@ -705,9 +705,15 @@ def oracle_sql() -> dict[str, str]:
 
         "dedup_minhash":
             f"WITH {_SHINGLES}, "
-            "mh AS (SELECT doc_id, seed, min(substring(md5(seed::VARCHAR "
-            " || ':' || shingle),1,16)) AS mh FROM sh CROSS JOIN "
-            " (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed), "
+            "hh AS (SELECT doc_id, "
+            " CAST(('0x' || substring(md5(shingle),1,8)) AS BIGINT) "
+            "  AS h1, "
+            " CAST(('0x' || substring(md5(shingle),9,8)) AS BIGINT) "
+            "  AS h2 FROM sh), "
+            "mh AS (SELECT doc_id, seed, "
+            " min((h1 + seed * h2) % 4294967291) AS mh FROM hh "
+            " CROSS JOIN (SELECT unnest(range(8)) AS seed) "
+            " GROUP BY doc_id, seed), "
             "bands AS (SELECT doc_id, CAST(floor(seed/2.0) AS INTEGER) AS "
             " band, string_agg(mh, '|' ORDER BY mh) AS sig FROM mh "
             " GROUP BY doc_id, CAST(floor(seed/2.0) AS INTEGER)), "

@@ -262,6 +262,28 @@ class IndexReader:
                              avgdl=(int(tok or 0) / n_docs) if n_docs
                              else 0.0)
 
+    def _dataset(self, table: str):
+        """Memoized pyarrow dataset for a logical table. The reader is
+        a snapshot reader (meta/n_docs/avgdl freeze at construction),
+        so caching the file listing + footers is consistent — and it
+        is the serving path's biggest fixed cost (re-parsing footers
+        per query). A new IndexReader sees new commits."""
+        cache = getattr(self, "_pa_datasets", None)
+        if cache is None:
+            cache = self._pa_datasets = {}
+        if table not in cache:
+            import pyarrow.dataset as pads
+            if table == "dictionary":
+                files = sorted(str(p) for p in
+                               (self.root / "dictionary")
+                               .glob("*.parquet"))
+            else:
+                files = [str(f) for d in table_paths(self.root, table,
+                                                     self.asof)
+                         for f in sorted(Path(d).glob("*.parquet"))]
+            cache[table] = pads.dataset(files, format="parquet")
+        return cache[table]
+
     def _term_dfs(self, terms: list[str]) -> dict:
         """Driver-side per-term document frequency: a pyarrow read of
         the term-sorted dictionary filtered to the query terms —
@@ -274,19 +296,13 @@ class IndexReader:
         and tiny at fixture scale; at extreme scale prefer querying a
         snapshot that has been finalized."""
         import pyarrow.compute as pc
-        import pyarrow.dataset as pads
         if self.asof is None:
-            files = sorted(
-                str(p) for p in (self.root / "dictionary").glob("*.parquet"))
-            tbl = (pads.dataset(files, format="parquet")
+            tbl = (self._dataset("dictionary")
                    .to_table(columns=["term", "df"],
                              filter=pc.field("term").isin(terms)))
             return dict(zip(tbl["term"].to_pylist(),
                             tbl["df"].to_pylist()))
-        files = [str(f) for d in table_paths(self.root, "postings",
-                                             self.asof)
-                 for f in sorted(Path(d).glob("*.parquet"))]
-        tbl = (pads.dataset(files, format="parquet")
+        tbl = (self._dataset("postings")
                .to_table(columns=["term", "n"],
                          filter=pc.field("term").isin(terms)))
         pdf = tbl.to_pandas()
@@ -324,7 +340,6 @@ class IndexReader:
         Returns a pandas DataFrame with ``search``'s result columns.
         """
         import pyarrow.compute as pc
-        import pyarrow.dataset as pads
         qinfo = {}
         all_terms: set[str] = set()
         for r in queries.itertuples():
@@ -342,12 +357,9 @@ class IndexReader:
         if not qinfo:
             return empty
         dfs = self._term_dfs(sorted(all_terms))
-        pfiles = [str(f) for d in table_paths(self.root, "postings",
-                                              self.asof)
-                  for f in sorted(Path(d).glob("*.parquet"))]
         need = ["term", "range_id", "min_doc", "max_tf", "min_dl",
                 "doc_bytes", "tf_bytes", "dl_bytes", "max_impact"]
-        dset = pads.dataset(pfiles, format="parquet")
+        dset = self._dataset("postings")
         cols = [c for c in need if c in dset.schema.names]
         blocks = (dset.to_table(columns=cols,
                                 filter=pc.field("term")
@@ -371,10 +383,7 @@ class IndexReader:
             ascending=[True, False, True], ignore_index=True)
         cands["rank"] = cands.groupby("query_id").cumcount() + 1
         ids = sorted(cands["doc_id"].unique().tolist())
-        dfiles = [str(f) for d in table_paths(self.root, "docmap",
-                                              self.asof)
-                  for f in sorted(Path(d).glob("*.parquet"))]
-        dm = (pads.dataset(dfiles, format="parquet")
+        dm = (self._dataset("docmap")
               .to_table(columns=["doc_id", "conv_id", "turn_idx"],
                         filter=(pc.field("doc_id") >= ids[0])
                         & (pc.field("doc_id") <= ids[-1])

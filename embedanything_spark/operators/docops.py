@@ -424,24 +424,38 @@ def _shingles(spark, sf_dir, distinct: bool = True):
 
 
 def dedup_minhash(spark, sf_dir):
-    """MinHash signatures (8 permutations via seeded md5) + LSH bands
-    of 2 → candidate pairs per band bucket. The scale path: band
-    buckets shard the pair-join so no O(n²) compare. All 8 signatures
-    are computed in ONE aggregation pass over the RAW (non-distinct)
+    """MinHash signatures (8 permutations) + LSH bands of 2 →
+    candidate pairs per band bucket. The scale path: band buckets
+    shard the pair-join so no O(n²) compare. All 8 signatures are
+    computed in ONE aggregation pass over the RAW (non-distinct)
     shingle stream — min is multiset-invariant, so the dedup shuffle
     is skipped and the per-doc agg gets map-side partial aggregation:
-    the only shuffle moves one (doc_id, 8 hashes) row per doc."""
+    the only shuffle moves one (doc_id, 8 hashes) row per doc.
+
+    Permutations use the two-hash construction (Kirsch–Mitzenmacher:
+    g_s = (h1 + s·h2) mod p, public standard for k-wise hashing):
+    ONE md5 per shingle, split into two 32-bit halves, then 8 cheap
+    modular combinations — previously 8 full md5 calls per shingle
+    dominated the entry's CPU."""
+    P = 4294967291  # largest 32-bit prime
     sh = _shingles(spark, sf_dir, distinct=False)
-    mh = sh.groupBy("doc_id").agg(*[
-        F.min(F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(s)), "shingle")), 1, 16))
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
+        .cast("long").alias("h2"))
+    mh = hashed.groupBy("doc_id").agg(*[
+        F.min((F.col("h1") + F.lit(s) * F.col("h2")) % F.lit(P))
         .alias(f"mh{s}") for s in range(8)])
     # band b = seeds (2b, 2b+1); sig = order-insensitive concat (the
     # same value the per-seed groupBy + string_agg oracle produces)
     bands_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.concat_ws("|", F.array_sort(F.array(
-                     F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))))
+                 F.concat_ws("|", F.transform(
+                     F.array_sort(F.array(
+                         F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))),
+                     lambda x: x.cast("string")))
                  .alias("sig"))
         for b in range(4)])
     bands = (mh.select("doc_id", F.explode(bands_arr).alias("bs"))
