@@ -150,6 +150,10 @@ def bench_build_and_query(results: dict) -> None:
             round(max(times[LOW_PAR]) / (ratio * min(times[HIGH_PAR])), 3)]
         results["build"] = build
 
+        # compact once before the query phase: the serving-optimizing
+        # maintenance step (term-range-clustered files → row-group
+        # stats prune term lookups; not part of the timed builds)
+        IndexWriter(str(work / f"idx{CPUS}")).compact(spark)
         # query latency: one job per query, pruning on (local[CPUS]);
         # one discarded warmup query (python-worker + broadcast paths).
         # AQE is off for the query session: the search plan is static

@@ -59,8 +59,8 @@ def main(argv=None):
                    help="disable block-max pruning (debug)")
     q.add_argument("--distributed", action="store_true",
                    help="run the query as a Spark job (default: the "
-                        "driver-side serving path, rank-identical and "
-                        "~ms instead of job-scheduling seconds)")
+                        "driver-side serving path, rank-identical, ~0.1 s "
+                        "instead of job-scheduling seconds)")
     q.add_argument("--rerank", metavar="TRANSCRIPTS",
                    help="cross-encoder rerank stage (reference query "
                         "path step 3); needs the transcripts parquet "

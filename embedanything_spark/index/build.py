@@ -518,7 +518,16 @@ class IndexWriter:
             _build_partition_factory(starts, self.block_range),
             schema=_UNION_SCHEMA)
         sub = f"batch-{batch_id}"
+        # 8 MB row groups (vs the 128 MB default): postings files are
+        # term-sorted, so row-group min/max stats are the pruning
+        # granularity for every term-pushed read — the serving path's
+        # pyarrow scan and the distributed In(term, …) scan both
+        # otherwise decode a whole 128 MB group (binary posting
+        # columns included) to extract one term's blocks. Measured:
+        # serving p50 0.46 s → ~0.1 s at sf0.1. Metadata cost at
+        # 10^12 scale stays sane (~16k groups per 128 GB of postings).
         (union.write.mode("overwrite").partitionBy("kind")
+              .option("parquet.block.size", str(8 * 1024 * 1024))
               .parquet(str(self.root / "data" / sub)))
 
         # n_docs is already exact from the plan's per-bucket sums —
@@ -637,15 +646,23 @@ class IndexWriter:
                 yield _merge_group(pdf.iloc[a:b])
 
         blocks = spark.read.parquet(*table_paths(self.root, "postings"))
-        # ONE shuffle on (term, range_id); sortWithinPartitions keeps
-        # files term-clustered so parquet row-group min/max pruning on
-        # term still applies (no extra range exchange — its sampling
-        # would re-run the merge)
-        (blocks.repartition(self._parts(spark), "term", "range_id")
+        # ONE range exchange on (term, range_id): each output file owns
+        # a CONTIGUOUS term span, so file- and row-group-level min/max
+        # statistics prune a term lookup to the one or two files that
+        # hold it. (Hash partitioning scatters terms across every
+        # file — each file's term stats then span the whole vocabulary
+        # and NOTHING prunes: measured 0.18 s vs 0.01 s per serving
+        # lookup.) The composite key lets the range partitioner split
+        # a hot term at range_id boundaries, so Zipf-head terms cannot
+        # skew one output file; the sampling pass reads the pre-merge
+        # parquet, not the merge output, so the merge itself still
+        # runs once.
+        (blocks.repartitionByRange(self._parts(spark), "term", "range_id")
                .sortWithinPartitions("term", "range_id")
                .mapInPandas(merge_stream,
                             schema=blocks.select(*_BLOCK_COLS).schema)
                .write.mode("overwrite")
+               .option("parquet.block.size", str(8 * 1024 * 1024))
                .parquet(str(out_dir / "kind=block")))
 
         lineage = {
@@ -754,7 +771,9 @@ class IndexWriter:
                 folded = sorted(lineage_ids)
             (merged.repartitionByRange(max(1, parts // 4), "term")
                    .sortWithinPartitions("term")
-                   .write.mode("overwrite").parquet(str(staging)))
+                   .write.mode("overwrite")
+                   .option("parquet.block.size", str(4 * 1024 * 1024))
+                   .parquet(str(staging)))
             (staging / "_dict_state.json").write_text(
                 json.dumps({"folded": folded}))
             self._swap_dictionary(staging)
