@@ -313,6 +313,14 @@ def test_time_travel_read(spark, tmp_path, queries_pdf):
     assert convs  # sanity: corpus non-trivial
     with pytest.raises(ValueError, match="unknown snapshot"):
         IndexReader(spark, root, asof="nope")
+    # the SERVING path honors the same snapshot (df from the included
+    # batches' block metadata, pyarrow reads restricted to them)
+    serving = IndexReader(spark, root, asof=cut["batch_id"]) \
+        .search_local(q)
+    pd.testing.assert_frame_equal(
+        serving, asof.sort_values(["query_id", "rank"],
+                                  ignore_index=True)[serving.columns],
+        check_dtype=False)
 
 
 def test_incremental_finalize(spark, tmp_path):
