@@ -79,8 +79,15 @@ from embedanything_spark.operators.doc_ids import zip_with_index
 DEFAULT_BLOCK_RANGE = 65536
 DOCS_PER_PARTITION = 10_000  # caps per-worker memory in the fused pass
 # avgdl rungs for the per-block impact-bound ladder (see module doc);
-# covers turn-level (~tens of tokens) through chunk-level (~1k) corpora
-IMPACT_LADDER = (8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0, 1024.0)
+# covers turn-level (~tens of tokens) through whole-document corpora
+# (embed_directory with large chunk_chars can push avgdl past 1024 —
+# without a rung those corpora would silently fall back to the ~35%-
+# loose classic (max_tf, min_dl) bound). 8 B/rung/block, so the tail
+# rungs are nearly free. Readers guard on ladder length, so indexes
+# written with a shorter ladder stay readable (classic bound applies
+# beyond their top rung).
+IMPACT_LADDER = (8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0, 1024.0,
+                 2048.0, 4096.0, 8192.0, 16384.0)
 
 _PKEY_CACHE: dict[tuple[str, int], list[int]] = {}
 
@@ -327,12 +334,55 @@ def dict_state(root: str | Path) -> set[str] | None:
     return set(json.loads(f.read_text())["folded"])
 
 
+def index_fs(root: str | Path):
+    """(pyarrow FileSystem, fs-relative base path) for a plain local
+    dir or any pyarrow-supported URI (file://, s3://, hdfs://, ...).
+    This keeps the READ side of the index Hadoop-FS-agnostic: the
+    serving tier and driver-side dictionary lookups list/open files
+    through pyarrow.fs instead of POSIX pathlib, so a remote index
+    root works wherever pyarrow has a filesystem for the scheme. (The
+    WRITE side's commit protocol relies on atomic rename — on object
+    stores use the documented Iceberg-catalog swap instead.)"""
+    from pyarrow import fs as pafs
+    s = str(root)
+    if "://" in s:
+        return pafs.FileSystem.from_uri(s)
+    return pafs.LocalFileSystem(), s
+
+
+def join_path(root: str | Path, *parts: str) -> str:
+    """Path join that preserves a URI scheme (Path() would collapse
+    the ``//`` in ``s3://``)."""
+    s = str(root)
+    if "://" in s:
+        return s.rstrip("/") + "/" + "/".join(parts)
+    return str(Path(s).joinpath(*parts))
+
+
+def read_index_text(root: str | Path, relpath: str) -> str | None:
+    """Read a small manifest file from the index root via pyarrow.fs
+    (scheme-aware); None if absent. Local roots take the plain-POSIX
+    fast path."""
+    s = str(root)
+    if "://" not in s:
+        p = Path(s) / relpath
+        return p.read_text() if p.exists() else None
+    from pyarrow import fs as pafs
+    fsys, base = index_fs(s)
+    path = base.rstrip("/") + "/" + relpath
+    if fsys.get_file_info(path).type == pafs.FileType.NotFound:
+        return None
+    with fsys.open_input_stream(path) as f:
+        return f.read().decode()
+
+
 def committed_lineage(root: str | Path) -> list[dict]:
-    """Committed batches, in commit order (the snapshot manifest)."""
-    f = Path(root) / "_meta/lineage.jsonl"
-    if not f.exists():
+    """Committed batches, in commit order (the snapshot manifest).
+    Scheme-aware: works against any pyarrow.fs-reachable root."""
+    text = read_index_text(root, "_meta/lineage.jsonl")
+    if text is None:
         return []
-    return [json.loads(line) for line in f.read_text().splitlines() if line]
+    return [json.loads(line) for line in text.splitlines() if line]
 
 
 def partition_lineage(spark: SparkSession, root: str | Path) -> DataFrame:
@@ -367,8 +417,8 @@ def table_paths(root: str | Path, table: str,
             raise ValueError(
                 f"unknown snapshot {asof!r}: committed batches = {ids}")
         lineage = lineage[:ids.index(asof) + 1]
-    return [str(Path(root) / "data" / f"batch-{ln['batch_id']}"
-                / f"kind={kind}")
+    return [join_path(root, "data", f"batch-{ln['batch_id']}",
+                      f"kind={kind}")
             for ln in lineage]
 
 
@@ -681,11 +731,37 @@ class IndexWriter:
         tmp = self.root / "_meta/lineage.jsonl.tmp"
         tmp.write_text(json.dumps(lineage) + "\n")
         os.replace(tmp, self.root / "_meta/lineage.jsonl")  # ← atomic
-        for ln in old_lineage:
-            shutil.rmtree(self.root / "data" / f"batch-{ln['batch_id']}",
-                          ignore_errors=True)
+        # RETENTION, not deletion: superseded batch dirs are only
+        # RETIRED here and physically removed on the NEXT compaction
+        # (or an explicit expire_retired()). A long-lived serving
+        # reader (server.py holds one IndexReader with memoized
+        # pyarrow datasets) opened before this compact keeps reading
+        # valid files — the same reason Iceberg keeps superseded files
+        # until snapshot expiry.
+        self._expire_retired()
+        retired = [f"batch-{ln['batch_id']}" for ln in old_lineage]
+        rtmp = self.root / "_meta/retired.json.tmp"
+        rtmp.write_text(json.dumps({"dirs": retired}))
+        os.replace(rtmp, self.root / "_meta/retired.json")
         self.finalize(spark)
         return lineage
+
+    def _expire_retired(self) -> None:
+        """Physically delete batch dirs retired by a PREVIOUS compact
+        (the retention window is one compaction cycle)."""
+        import shutil
+        f = self.root / "_meta/retired.json"
+        if not f.exists():
+            return
+        for d in json.loads(f.read_text()).get("dirs", []):
+            shutil.rmtree(self.root / "data" / d, ignore_errors=True)
+        f.unlink(missing_ok=True)
+
+    def expire_retired(self) -> None:
+        """Explicit GC of retired batch dirs (Iceberg
+        expire_snapshots analogue) — call once no reader older than
+        the last compaction is live."""
+        self._expire_retired()
 
     def _swap_dictionary(self, staging: Path) -> None:
         """Atomic-as-possible directory swap: rename the live dict

@@ -148,8 +148,11 @@ def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
                     if a >= avgdl]
             if rung:
                 L = rung[0]
+                # guard on per-row ladder length: a batch written
+                # under an older, shorter IMPACT_LADDER keeps its
+                # classic bound past its top rung
                 mi = np.array(
-                    [v[L] if v is not None else np.inf
+                    [v[L] if v is not None and L < len(v) else np.inf
                      for v in pdf["max_impact"].to_numpy(object)])
                 ub = np.minimum(ub, idf * mi * (1.0 + 1e-12))
         rid_arr = pdf["range_id"].to_numpy(np.int64)
@@ -244,17 +247,21 @@ class IndexReader:
         blocks) so scoring AND the WAND bounds are exactly the
         snapshot's — results are identical to an index that had only
         those batches."""
+        from embedanything_spark.index.build import read_index_text
         self.spark = spark
-        self.root = Path(root)
+        # root may be a plain dir OR a pyarrow.fs URI (file://, s3://,
+        # hdfs://): manifests read via read_index_text, file listings
+        # via index_fs — the reader never requires POSIX visibility.
+        self.root = str(root)
         self.asof = asof
-        meta_path = self.root / "_meta/meta.json"
-        if not meta_path.exists():
+        meta_text = read_index_text(self.root, "_meta/meta.json")
+        if meta_text is None:
             raise FileNotFoundError(
-                f"no finalized index at {root!r}: {meta_path} missing — "
-                "run IndexWriter.build / CheckpointedIndexBuilder.run "
-                "(finalize writes meta.json last; a crashed build needs "
-                "resume)")
-        self.meta = json.loads(meta_path.read_text())
+                f"no finalized index at {root!r}: _meta/meta.json "
+                "missing — run IndexWriter.build / "
+                "CheckpointedIndexBuilder.run (finalize writes "
+                "meta.json last; a crashed build needs resume)")
+        self.meta = json.loads(meta_text)
         if self.meta["analyzer_version"] != ANALYZER_VERSION:
             raise ValueError(
                 f"index built with analyzer v{self.meta['analyzer_version']}"
@@ -288,15 +295,27 @@ class IndexReader:
             cache = self._pa_datasets = {}
         if table not in cache:
             import pyarrow.dataset as pads
+            from pyarrow import fs as pafs
+            from embedanything_spark.index.build import (index_fs,
+                                                         join_path)
+            fsys, _base = index_fs(self.root)
+
+            def _ls(d: str) -> list[str]:
+                # fs-relative listing (strip any URI scheme — the
+                # filesystem object already encodes it)
+                rel = d.split("://", 1)[-1]
+                sel = pafs.FileSelector(rel, allow_not_found=True)
+                return sorted(i.path for i in fsys.get_file_info(sel)
+                              if i.base_name.endswith(".parquet"))
+
             if table == "dictionary":
-                files = sorted(str(p) for p in
-                               (self.root / "dictionary")
-                               .glob("*.parquet"))
+                files = _ls(join_path(self.root, "dictionary"))
             else:
-                files = [str(f) for d in table_paths(self.root, table,
-                                                     self.asof)
-                         for f in sorted(Path(d).glob("*.parquet"))]
-            cache[table] = pads.dataset(files, format="parquet")
+                files = [f for d in table_paths(self.root, table,
+                                                self.asof)
+                         for f in _ls(d)]
+            cache[table] = pads.dataset(files, format="parquet",
+                                        filesystem=fsys)
         return cache[table]
 
     def _term_dfs(self, terms: list[str]) -> dict:
@@ -324,8 +343,28 @@ class IndexReader:
             return {}
         return pdf.groupby("term")["n"].sum().astype(int).to_dict()
 
+    def _term_dfs_spark(self, terms: list[str]) -> dict:
+        """Hadoop-FS-agnostic df resolution THROUGH THE JVM —
+        ``search``'s fallback when the driver's pyarrow has no
+        filesystem for the index root's scheme (e.g. abfss:// or
+        hdfs:// without libhdfs). Same contract as ``_term_dfs``; the
+        scan is term-pushed so only the query terms' row groups are
+        read."""
+        from embedanything_spark.index.build import join_path
+        if self.asof is None:
+            rows = (self.spark.read
+                    .parquet(join_path(self.root, "dictionary"))
+                    .filter(F.col("term").isin(terms))
+                    .select("term", "df").collect())
+            return {r["term"]: int(r["df"]) for r in rows}
+        rows = (self.spark.read
+                .parquet(*table_paths(self.root, "postings", self.asof))
+                .filter(F.col("term").isin(terms))
+                .groupBy("term").agg(F.sum("n").alias("df")).collect())
+        return {r["term"]: int(r["df"]) for r in rows}
+
     def search_local(self, queries: pd.DataFrame,
-                     prune: bool = True) -> pd.DataFrame:
+                     prune: bool = True, decode_acc=None) -> pd.DataFrame:
         """SERVING path: the same index, the same scoring kernel, the
         same results — no Spark job. Interactive single-query latency
         through ``search`` is dominated by job scheduling (p50 ≈ 1 s
@@ -352,7 +391,25 @@ class IndexReader:
         ``search`` where the same kernel runs partition-parallel.
 
         Returns a pandas DataFrame with ``search``'s result columns.
+
+        Compaction safety: ``compact()`` retires superseded batch dirs
+        only on the NEXT compaction cycle (Iceberg-style retention),
+        so a long-lived serving reader keeps valid files for a full
+        cycle; if this reader's memoized datasets do outlive the
+        retention window, the stale file handles surface as OSError —
+        caught here, the dataset cache is dropped, and the query is
+        retried once against the now-current lineage (corpus stats are
+        compaction-invariant, so frozen meta stays exact).
         """
+        try:
+            return self._search_local_once(queries, prune, decode_acc)
+        except OSError:
+            self._pa_datasets = {}
+            return self._search_local_once(queries, prune, decode_acc)
+
+    def _search_local_once(self, queries: pd.DataFrame,
+                           prune: bool = True,
+                           decode_acc=None) -> pd.DataFrame:
         import pyarrow.compute as pc
         qinfo = {}
         all_terms: set[str] = set()
@@ -382,7 +439,7 @@ class IndexReader:
             return empty
         kernel = _score_partition_factory(
             qinfo, self.meta["n_docs"], self.meta["avgdl"], prune,
-            dfs=dfs)
+            decode_acc, dfs=dfs)
         parts = list(kernel([blocks]))
         if not parts:
             return empty
@@ -433,8 +490,14 @@ class IndexReader:
         # a few dozen terms) and ships in the kernel closure: the
         # per-query Spark job is postings scan → one exchange →
         # score, with no dictionary scan and no broadcast join stage.
-        # Unseen terms simply resolve to no df / no blocks.
-        dfs = self._term_dfs(sorted(all_terms))
+        # Unseen terms simply resolve to no df / no blocks. If the
+        # driver's pyarrow cannot reach the root (scheme without a
+        # pyarrow filesystem), fall back to the JVM-side dictionary
+        # scan so distributed search stays Hadoop-FS-agnostic.
+        try:
+            dfs = self._term_dfs(sorted(all_terms))
+        except (OSError, NotImplementedError, ValueError):
+            dfs = self._term_dfs_spark(sorted(all_terms))
         n_buckets = num_buckets or \
             self.spark.sparkContext.defaultParallelism
         raw = self.spark.read.parquet(

@@ -293,7 +293,9 @@ def _xml_escape(s: str) -> str:
 
 # ---------------------------------------------------------------- PDF
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_DICT_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_ENDSTREAM_RE = re.compile(rb"endstream")
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
 _TJA_RE = re.compile(rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ", re.DOTALL)
 _STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
@@ -310,22 +312,48 @@ def _unescape_pdf_string(b: bytes) -> bytes:
     return _ESC_RE.sub(sub, b)
 
 
+def _looks_like_content_ops(raw: bytes) -> bool:
+    """Plausibility check for an UNCOMPRESSED content stream: real
+    page content carries text/graphics operators."""
+    return any(op in raw for op in (b"Tj", b"TJ", b"BT", b" Td", b" re"))
+
+
 def pdf_to_text(data: bytes) -> str:
-    """SUBSET PDF text extraction: inflate FlateDecode streams (or use
-    them raw when inflate fails → uncompressed stream), then collect
+    """SUBSET PDF text extraction: slice each stream body by the
+    preceding object dict's direct ``/Length`` (so compressed bytes
+    that happen to contain the literal ``endstream`` never truncate —
+    the non-greedy-regex failure mode), falling back to an
+    ``endstream`` scan only when ``/Length`` is absent or indirect
+    (``N 0 R``); inflate FlateDecode streams, then collect
     literal-string ``Tj`` and ``TJ``-array show operators in document
-    order. Handles \\-escapes and octal codes, Latin-1 decoding.
-    Honest limits: no CID/Type0 composite fonts, no hex strings, no
-    encryption, no layout reconstruction — swap in a real PDF lib for
-    those (pdf_processor.rs:43-100)."""
+    order. A stream that fails inflate is SKIPPED unless it plausibly
+    looks like plain content-stream operators (never emit inflate
+    garbage as text). Handles \\-escapes and octal codes, Latin-1
+    decoding. Honest limits: no CID/Type0 composite fonts, no hex
+    strings, no encryption, no layout reconstruction — swap in a real
+    PDF lib for those (pdf_processor.rs:43-100)."""
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF")
     pieces: list[bytes] = []
-    for m in _STREAM_RE.finditer(data):
-        raw = m.group(1)
+    for m in _DICT_STREAM_RE.finditer(data):
+        start = m.end()
+        lm = _LENGTH_DIRECT_RE.search(m.group(1))
+        raw = None
+        if lm:
+            n = int(lm.group(1))
+            tail = data[start + n:start + n + 16]
+            if _ENDSTREAM_RE.search(tail):  # length is consistent
+                raw = data[start:start + n]
+        if raw is None:  # no/indirect /Length → legacy scan
+            em = _ENDSTREAM_RE.search(data, start)
+            if not em:
+                continue
+            raw = data[start:em.start()].rstrip(b"\r\n")
         try:
             content = zlib.decompress(raw)
         except zlib.error:
+            if not _looks_like_content_ops(raw):
+                continue
             content = raw
         for tm in _TJ_RE.finditer(content):
             pieces.append(_unescape_pdf_string(tm.group(1)))

@@ -115,12 +115,17 @@ def _bm25_scores(spark, sf_dir):
     BM25 plan with ZERO driver actions: n_docs/avgdl ride along as a
     broadcast 1-row frame instead of a collect (the corpus never gets
     an extra scan per query)."""
-    # tf filtered to query terms; df of those terms = a count window
-    # over the SAME filtered rows (no second corpus pass)
-    tf = (term_tf(spark, sf_dir)
-          .filter(F.col("term").isin(DOC_QUERY_TERMS))
-          .withColumn("df", F.count("*").over(
-              Window.partitionBy("term")).cast("double")))
+    # tf filtered to query terms. df per term = map-side-combined
+    # groupBy over the same tf frame, broadcast back: a Zipf-head
+    # query term costs one partial-agg row per task, never a single
+    # window partition holding ~10% of the corpus's tf rows. The df
+    # subtree shares tf's (doc_id, term) exchange via ReuseExchange,
+    # so no extra corpus pass materializes.
+    tf_q = (term_tf(spark, sf_dir)
+            .filter(F.col("term").isin(DOC_QUERY_TERMS)))
+    dfs = (tf_q.groupBy("term")
+           .agg(F.count("*").cast("double").alias("df")))
+    tf = tf_q.join(F.broadcast(dfs), "term")
     dl = doc_stats(spark, sf_dir)
     st = dl.agg(F.count("*").cast("double").alias("n"),
                 F.avg("doclen").alias("avgdl"))

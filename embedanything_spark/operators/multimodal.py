@@ -145,42 +145,52 @@ def _audio_embedding(samples: np.ndarray) -> np.ndarray:
     return (bands / n if n else bands).astype(np.float32)
 
 
-def _decode_asset(content: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Magic-byte dispatch → (width, height, n_frames, embedding).
-    PNG/WAV/Y4M decode for real (``mediacodecs``); anything else falls
-    back to the deterministic stub. Video frame sampling: every Nth
-    frame, cap 10 (config.rs:189-191) — skipped frames are never
-    materialized, only byte offsets advance."""
-    if content.startswith(mc.PNG_SIG):
-        img = mc.decode_png(content)
-        h, w = img.shape[:2]
-        return w, h, 1, _image_block_embedding(img)
-    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-        rate, samples = mc.decode_wav(content)
-        n = len(samples)
-        return n, (1 if samples.ndim == 1 else samples.shape[1]), 1, \
-            _audio_embedding(samples)
-    if content.startswith(mc.Y4M_SIG):
-        probe_w, probe_h, total, _ = mc.decode_y4m(
-            content, sample_every=10**9)   # header-only pass
-        step = max(1, -(-total // 10))     # every Nth, cap 10
-        w, h, total, frames = mc.decode_y4m(content, sample_every=step,
-                                            max_frames=10)
-        emb = _image_block_embedding(
-            frames.astype(np.float64).mean(axis=0))
-        return w, h, len(frames), emb
+def _decode_asset(content: bytes) -> tuple[int, int, int, np.ndarray, bool]:
+    """Magic-byte dispatch → (width, height, n_frames, embedding,
+    decoded_for_real). PNG/WAV/Y4M decode for real (``mediacodecs``);
+    anything else — including a variant the narrow real kernels can't
+    handle (palette/16-bit/interlaced PNG, non-PCM WAV, C420 Y4M) —
+    degrades PER-ITEM to the deterministic stub instead of killing the
+    whole Spark stage, matching the reference processors' per-item
+    error contract. Video frame sampling: every Nth frame, cap 10
+    (config.rs:189-191) — skipped frames are never materialized, only
+    byte offsets advance."""
+    try:
+        if content.startswith(mc.PNG_SIG):
+            img = mc.decode_png(content)
+            h, w = img.shape[:2]
+            return w, h, 1, _image_block_embedding(img), True
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            rate, samples = mc.decode_wav(content)
+            n = len(samples)
+            return n, (1 if samples.ndim == 1 else samples.shape[1]), \
+                1, _audio_embedding(samples), True
+        if content.startswith(mc.Y4M_SIG):
+            probe_w, probe_h, total, _ = mc.decode_y4m(
+                content, sample_every=10**9)   # header-only pass
+            step = max(1, -(-total // 10))     # every Nth, cap 10
+            w, h, total, frames = mc.decode_y4m(
+                content, sample_every=step, max_frames=10)
+            emb = _image_block_embedding(
+                frames.astype(np.float64).mean(axis=0))
+            return w, h, len(frames), emb, True
+    except Exception:
+        pass  # unsupported variant → stub fallback below
     w, h, vec = _decode_image_stub(content)
-    return w, h, min(10, max(1, len(content) // 512)), vec
+    return w, h, min(10, max(1, len(content) // 512)), vec, False
 
 
 def extract_features(assets: DataFrame,
                      batch_partitions: int | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow binary batches).
-    Real decode for PNG/WAV/Y4M payloads, stub for opaque formats —
-    per-item dispatch inside the batch, see ``_decode_asset``."""
+    Real decode for PNG/WAV/Y4M payloads, stub for opaque formats AND
+    for items the real kernels reject — per-item degradation, see
+    ``_decode_asset``. Stub fallbacks are counted in the
+    ``mm.decode_stub_fallbacks`` accumulator for observability."""
     df = assets
     if batch_partitions:
         df = df.repartition(batch_partitions)
+    fallbacks = df.sparkSession.sparkContext.accumulator(0)
 
     def run(batches):
         for pdf in batches:
@@ -188,11 +198,10 @@ def extract_features(assets: DataFrame,
             for path, mod, content in zip(pdf["path"], pdf["modality"],
                                           pdf["content"]):
                 content = bytes(content)
-                w, h, n_frames, vec = _decode_asset(content)
-                if mod != "video" and not (
-                        content.startswith(mc.PNG_SIG)
-                        or content[:4] == b"RIFF"
-                        or content.startswith(mc.Y4M_SIG)):
+                w, h, n_frames, vec, real = _decode_asset(content)
+                if not real:
+                    fallbacks.add(1)
+                if mod != "video" and not real:
                     n_frames = 1
                 out.append((path, mod, w, h, n_frames, vec.tolist()))
             yield pd.DataFrame(out, columns=["path", "modality", "width",
@@ -265,23 +274,30 @@ def near_dup_by_embedding(features: DataFrame,
                  F.concat(*bits[i * per_band:(i + 1) * per_band])
                  .alias("sig"))
         for i in range(N_BANDS)])
-    b = (features.select("path", "embedding",
-                         F.explode(bands).alias("bs"))
-         .select("path", "embedding",
+    # Band self-join exchanges (path, band, sig) ONLY: embeddings are
+    # dropped before the shuffle and re-fetched for the surviving
+    # candidate pairs — O(pairs) vector payload, not O(rows × bands).
+    b = (features.select("path", F.explode(bands).alias("bs"))
+         .select("path",
                  F.col("bs.band").alias("band"),
                  F.col("bs.sig").alias("sig")))
     l, r = b.alias("l"), b.alias("r")
-    pairs = (l.join(r, (F.col("l.band") == F.col("r.band")) &
-                       (F.col("l.sig") == F.col("r.sig")) &
-                       (F.col("l.path") < F.col("r.path")))
-             .select(F.col("l.path").alias("p1"),
-                     F.col("r.path").alias("p2"),
+    cand = (l.join(r, (F.col("l.band") == F.col("r.band")) &
+                      (F.col("l.sig") == F.col("r.sig")) &
+                      (F.col("l.path") < F.col("r.path")))
+            .select(F.col("l.path").alias("p1"),
+                    F.col("r.path").alias("p2"))
+            .distinct())  # a pair may match in several bands
+    pairs = (cand
+             .join(features.select(F.col("path").alias("p1"),
+                                   F.col("embedding").alias("e1")), "p1")
+             .join(features.select(F.col("path").alias("p2"),
+                                   F.col("embedding").alias("e2")), "p2")
+             .select("p1", "p2",
                      F.aggregate(
-                         F.zip_with(F.col("l.embedding"),
-                                    F.col("r.embedding"),
+                         F.zip_with(F.col("e1"), F.col("e2"),
                                     lambda a, b_: a.cast("double") *
                                     b_.cast("double")),
                          F.lit(0.0), lambda acc, x: acc + x)
-                     .alias("cos"))
-             .distinct())  # a pair may match in several bands
+                     .alias("cos")))
     return pairs.filter(F.col("cos") >= threshold)

@@ -133,22 +133,31 @@ def near_dup_embeddings(spark, sf_dir) -> DataFrame:
         F.struct(F.lit(i).alias("band"),
                  F.concat(*bits[i * per_band:(i + 1) * per_band])
                  .alias("sig")) for i in range(NEAR_DUP_BANDS)])
+    # The band self-join exchanges (vec_id, band, sig) ONLY — the
+    # 64-float embedding arrays are dropped before the shuffle and
+    # re-fetched just for the surviving candidate pairs (O(pairs),
+    # not O(rows × bands) vector payload through the exchange).
     b = (u.select("vec_id", "embedding",
                   F.explode(bands_arr).alias("bs"))
-         .select("vec_id", "embedding",
+         .select("vec_id",
                  F.col("bs.band").alias("band"),
                  F.col("bs.sig").alias("sig")))
     lhs, rhs = b.alias("l"), b.alias("r")
-    ecos = _cosine(_dbl(F.col("l.embedding")), _dbl(F.col("r.embedding")))
-    return (lhs.join(rhs, (F.col("l.band") == F.col("r.band")) &
+    cand = (lhs.join(rhs, (F.col("l.band") == F.col("r.band")) &
                           (F.col("l.sig") == F.col("r.sig")) &
                           (F.col("l.vec_id") < F.col("r.vec_id")))
             .select(F.col("l.vec_id").alias("v1"),
-                    F.col("r.vec_id").alias("v2"),
-                    micro(ecos).alias("cos_micro"))
+                    F.col("r.vec_id").alias("v2"))
+            .distinct())
+    ecos = _cosine(_dbl(F.col("e1")), _dbl(F.col("e2")))
+    return (cand
+            .join(u.select(F.col("vec_id").alias("v1"),
+                           F.col("embedding").alias("e1")), "v1")
+            .join(u.select(F.col("vec_id").alias("v2"),
+                           F.col("embedding").alias("e2")), "v2")
+            .select("v1", "v2", micro(ecos).alias("cos_micro"))
             .filter(F.col("cos_micro") >=
                     int(NEAR_DUP_THRESHOLD * 1e6))
-            .distinct()
             .orderBy("v1", "v2"))
 
 

@@ -110,15 +110,27 @@ class _Handler(BaseHTTPRequestHandler):
             if self.reader is None:
                 return self._send(503, {"error": "no index configured"})
             import pandas as pd
-            if "queries" in req:
-                q = pd.DataFrame(req["queries"])
-            else:
-                q = pd.DataFrame({"query_id": [0],
-                                  "query_text": [req.get("query", "")],
-                                  "k": [int(req.get("k", 10))]})
+            # build + validate + search all inside the try: a
+            # non-numeric k, or queries rows missing
+            # query_id/query_text/k, must surface as a 400 JSON
+            # error, never a dropped connection
             try:
+                if "queries" in req:
+                    q = pd.DataFrame(req["queries"])
+                    missing = {"query_id", "query_text",
+                               "k"} - set(q.columns)
+                    if missing:
+                        raise ValueError(
+                            "queries rows missing fields: "
+                            f"{sorted(missing)}")
+                else:
+                    q = pd.DataFrame(
+                        {"query_id": [0],
+                         "query_text": [req.get("query", "")],
+                         "k": [int(req.get("k", 10))]})
                 out = self.reader.search_local(q)
-            except (KeyError, ValueError, TypeError) as e:
+            except (KeyError, ValueError, TypeError,
+                    AttributeError) as e:
                 return self._send(400, {"error": str(e)})
             return self._send(200, {
                 "results": out.to_dict(orient="records")})

@@ -1,0 +1,217 @@
+"""Round-4 behaviors: compaction retention for live serving readers,
+scheme-aware (file://) index roots, the extended impact ladder on
+large-avgdl corpora, and per-item decode degradation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from embedanything_spark.datagen import gen_transcripts_df
+from embedanything_spark.index.build import (CheckpointedIndexBuilder,
+                                             IndexWriter,
+                                             committed_lineage)
+from embedanything_spark.index.query import IndexReader
+
+
+class _Counter:
+    """Driver-side stand-in for a Spark accumulator (search_local runs
+    the kernel in-process)."""
+
+    def __init__(self):
+        self.n = 0
+
+    def add(self, v):
+        self.n += v
+
+
+def _q(text: str, k: int = 5) -> pd.DataFrame:
+    return pd.DataFrame({"query_id": [0], "query_text": [text],
+                         "k": [k]})
+
+
+def test_compaction_retention_live_reader(spark, tmp_path):
+    """A serving reader opened BEFORE compact() keeps answering:
+    compact retires superseded batch dirs instead of deleting them
+    (one-cycle retention window); a reader that does outlive the
+    window re-opens cleanly on its next query instead of erroring."""
+    from pathlib import Path
+
+    t = gen_transcripts_df(spark, 40)
+    root = tmp_path / "ret"
+    w = IndexWriter(str(root), block_range=64, num_partitions=2)
+    CheckpointedIndexBuilder(w, n_batches=2).run(t)
+    old_dirs = [root / "data" / f"batch-{ln['batch_id']}"
+                for ln in committed_lineage(root)]
+
+    reader = IndexReader(None, str(root))  # serving: no Spark session
+    q = _q("term00000")
+    base = reader.search_local(q)
+    assert len(base) > 0
+
+    w.compact(spark)
+    # retention: the superseded dirs are still on disk...
+    assert all(d.exists() for d in old_dirs)
+    # ...so the live reader's memoized datasets still resolve (the
+    # dictionary is swapped by finalize, which the OSError-retry
+    # re-opens transparently)
+    pd.testing.assert_frame_equal(reader.search_local(q), base)
+
+    compact1 = [root / "data" / f"batch-{ln['batch_id']}"
+                for ln in committed_lineage(root)]
+    w.compact(spark)
+    # second compact expires the first round's retired dirs
+    assert not any(d.exists() for d in old_dirs)
+    assert all(d.exists() for d in compact1)
+    # the reader's memoized files are gone now — the query must
+    # re-open against the current lineage, not raise
+    pd.testing.assert_frame_equal(reader.search_local(q), base)
+
+    # explicit GC (expire_snapshots analogue)
+    w.expire_retired()
+    assert not any(d.exists() for d in compact1)
+    assert not (root / "_meta/retired.json").exists()
+    fresh = [root / "data" / f"batch-{ln['batch_id']}"
+             for ln in committed_lineage(root)]
+    assert all(d.exists() for d in fresh)
+
+
+def test_file_uri_index_root(spark, tmp_path, queries_pdf):
+    """The reader is Hadoop-FS-agnostic on the read side: a
+    ``file://`` URI root (pyarrow.fs resolved, same machinery as
+    s3://) serves search_local AND distributed search identically to
+    the plain-path reader."""
+    t = gen_transcripts_df(spark, 40)
+    root = tmp_path / "uri"
+    IndexWriter(str(root), block_range=64, num_partitions=2).build(t)
+    q = queries_pdf.head(6)
+
+    plain = IndexReader(spark, str(root))
+    uri = IndexReader(spark, f"file://{root}")
+    pd.testing.assert_frame_equal(uri.search_local(q),
+                                  plain.search_local(q))
+    pd.testing.assert_frame_equal(uri.search(q).toPandas(),
+                                  plain.search(q).toPandas())
+    # the JVM-side df fallback resolves the same dfs as pyarrow
+    some_terms = ["term00000", "term00001", "neverseen"]
+    assert uri._term_dfs_spark(some_terms) == uri._term_dfs(some_terms)
+
+
+def test_impact_ladder_large_avgdl(spark, tmp_path):
+    """North-rule pruning on a whole-document-sized corpus: with
+    avgdl > 1024 the extended ladder must supply a rung, and the
+    ladder bound (not the ~35%-loose classic (max_tf, min_dl) bound)
+    must drive WAND pruning — measurably fewer decoded ranges, with
+    pruned == unpruned exactness."""
+    from embedanything_spark.index import query as qmod
+    from embedanything_spark.index.build import IMPACT_LADDER
+
+    # HETEROGENEOUS inflation (30–230× per turn): avgdl lands well
+    # past 1024, and tf/dl correlate positively within blocks — the
+    # regime where the classic bound's cross-doc (max_tf, min_dl)
+    # pairing inflates most while the per-doc-joint ladder stays tight
+    t = (gen_transcripts_df(spark, 60)
+         .withColumn("rep", (F.lit(30) + F.pmod(
+             F.xxhash64("conv_id", "turn_idx"), F.lit(200))).cast("int"))
+         .withColumn("text", F.concat_ws(
+             " ", F.array_repeat(F.col("text"), F.col("rep"))))
+         .drop("rep"))
+    root = str(tmp_path / "bigdl")
+    IndexWriter(root, block_range=32, num_partitions=2).build(t)
+    reader = IndexReader(None, root)
+    avgdl = reader.meta["avgdl"]
+    assert avgdl > 1024, f"fixture must exceed the old top rung: {avgdl}"
+    assert any(a >= avgdl for a in IMPACT_LADDER)
+
+    q = _q("term00000 term00003", k=3)
+    unpruned = reader.search_local(q, prune=False)
+
+    ladder_cnt = _Counter()
+    with_ladder = reader.search_local(q, prune=True,
+                                      decode_acc=ladder_cnt)
+    pd.testing.assert_frame_equal(with_ladder, unpruned)
+
+    # simulate the pre-round-4 ladder (tops out at 1024 → no rung →
+    # classic bound only). search_local runs in-process, so the
+    # module-level patch reaches the kernel.
+    old = qmod.IMPACT_LADDER
+    qmod.IMPACT_LADDER = tuple(a for a in old if a <= 1024.0)
+    try:
+        classic_cnt = _Counter()
+        with_classic = reader.search_local(q, prune=True,
+                                           decode_acc=classic_cnt)
+    finally:
+        qmod.IMPACT_LADDER = old
+    pd.testing.assert_frame_equal(with_classic, unpruned)
+    assert ladder_cnt.n < classic_cnt.n, (
+        f"ladder bound must prune more: ladder={ladder_cnt.n} "
+        f"classic={classic_cnt.n}")
+
+
+def test_decode_fallback_per_item(spark):
+    """A payload the real kernels reject (truncated PNG) degrades to
+    the stub PER ITEM — the stage survives, healthy items still real-
+    decode, and the fallback accumulator counts the degraded ones."""
+    from embedanything_spark import mediacodecs as mc
+    from embedanything_spark.operators.multimodal import (
+        extract_features, real_image_dims, synth_assets)
+
+    good = synth_assets(spark, 3, real=True)  # ids 0..2: png/wav/y4m
+    bad_png = mc.PNG_SIG + b"\x00" * 40  # magic matches, body garbage
+    bad = spark.createDataFrame(
+        [("/assets/image/bad.png", "image", len(bad_png),
+          bytearray(bad_png))],
+        schema=good.schema)
+    feats = (extract_features(good.unionByName(bad))
+             .toPandas().set_index("path"))
+    assert len(feats) == 4  # nothing killed the batch
+    w, h, _v = real_image_dims(0)
+    assert (feats.loc["/assets/image/000000.png", "width"],
+            feats.loc["/assets/image/000000.png", "height"]) == (w, h)
+    stub = feats.loc["/assets/image/bad.png"]
+    assert stub["n_frames"] == 1 and len(stub["embedding"]) > 0
+
+
+def test_pdf_length_sliced_streams():
+    """Adversarial PDF streams: compressed bytes containing the
+    literal ``endstream`` must not truncate (sliced via /Length);
+    inflate garbage is skipped, never emitted as text; an indirect
+    /Length falls back to the scan."""
+    import zlib
+
+    from embedanything_spark import mediacodecs as mc
+
+    ops = b"BT (contains endstream inside) Tj ET"
+    comp = zlib.compress(ops, 0)  # stored blocks embed the literal
+    assert b"endstream" in comp
+    pdf = (b"%PDF-1.4\n1 0 obj << /Length " + str(len(comp)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + comp
+           + b"\nendstream\nendobj\n%%EOF")
+    assert mc.pdf_to_text(pdf) == "contains endstream inside"
+
+    bad = (b"%PDF-1.4\n1 0 obj << /Length 10 /Filter /FlateDecode >>"
+           b"\nstream\n\x00\x01GARBAGE!!\nendstream\nendobj\n%%EOF")
+    assert mc.pdf_to_text(bad) == ""
+
+    ind = zlib.compress(b"BT (indirect len) Tj ET")
+    pdf3 = (b"%PDF-1.4\n1 0 obj << /Length 5 0 R /Filter /FlateDecode"
+            b" >>\nstream\n" + ind + b"\nendstream\nendobj\n%%EOF")
+    assert mc.pdf_to_text(pdf3) == "indirect len"
+
+
+def test_bm25_dataframe_plan_no_term_window(spark):
+    """The index-less BM25 slice resolves per-term df via map-side
+    partial aggregation + broadcast join — a Zipf-head query term
+    must NOT funnel its tf rows through one window partition."""
+    import contextlib
+    import io
+
+    from embedanything_spark.operators.docops import bm25_topk
+
+    df = bm25_topk(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, "per-term window exchange is back"
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower()

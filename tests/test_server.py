@@ -107,3 +107,18 @@ def test_search_empty_query(server):
 def test_unknown_route_404(server):
     code, body = _post(f"{server}/v1/nope", {})
     assert code == 404
+
+
+def test_search_malformed_payloads_400(server):
+    """Malformed /v1/search bodies return a JSON 400 — never a
+    dropped connection: non-numeric k, and queries rows lacking the
+    required fields."""
+    code, body = _post(f"{server}/v1/search",
+                       {"query": "term00001", "k": "lots"})
+    assert code == 400 and "error" in body
+    code, body = _post(f"{server}/v1/search",
+                       {"queries": [{"q": "missing fields"}]})
+    assert code == 400 and "error" in body
+    code, body = _post(f"{server}/v1/search",
+                       {"queries": "not-a-list"})
+    assert code == 400 and "error" in body
