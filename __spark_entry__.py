@@ -259,7 +259,16 @@ def _multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("int") < 5)
               .withColumn("path", F.concat(F.col("path"),
                                            F.lit("__copy"))))
-    feats = extract_features(assets.unionByName(copies))
+    # materialize features BEFORE the LSH: near_dup_by_embedding
+    # references its input three times (signature branch + two
+    # candidate-pair fetch joins); over an unpersisted mapInPandas
+    # frame that would re-decode every asset three times, while a
+    # parquet table costs three cheap column-pruned scans — the shape
+    # a 100 TB pipeline needs
+    shutil.rmtree(root / "nd_feats", ignore_errors=True)
+    extract_features(assets.unionByName(copies)) \
+        .write.mode("overwrite").parquet(str(root / "nd_feats"))
+    feats = spark.read.parquet(str(root / "nd_feats"))
     return (near_dup_by_embedding(feats, threshold=0.99)
             .select("p1", "p2").orderBy("p1", "p2"))
 

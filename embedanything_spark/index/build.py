@@ -195,11 +195,15 @@ def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     # (max_tf, min_dl) pair can't express
     tff = tf.astype(np.float64)
     dlf = dl.astype(np.float64)
-    imps = np.empty((len(IMPACT_LADDER), n), dtype=np.float64)
+    # one rung at a time: a (rungs, n) matrix at once costs
+    # 12 × 8 B × n — on a Zipf-head merge batch n can reach 10^8
+    # postings, so keep the live temp at one (n,) array per rung
+    mimp = np.empty((len(IMPACT_LADDER), len(starts)),
+                    dtype=np.float64)
     for li, a in enumerate(IMPACT_LADDER):
-        imps[li] = (tff * (K1 + 1.0)) / \
+        imp = (tff * (K1 + 1.0)) / \
             (tff + K1 * ((1.0 - B) + B * dlf / a))
-    mimp = np.maximum.reduceat(imps, starts, axis=1)
+        mimp[li] = np.maximum.reduceat(imp, starts)
     out = {"term": term[starts], "range_id": rid[starts],
            "n": counts.astype(np.int32),
            "min_doc": min_doc, "max_doc": max_doc,
@@ -637,24 +641,6 @@ class IndexWriter:
         (parts.write.mode("overwrite")
               .parquet(str(out_dir / "kind=part")))
 
-        def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            """≥2 block rows with one (term, range_id) → one row."""
-            docs_l, tf_l, dl_l = [], [], []
-            for r in pdf.itertuples():
-                docs_l.append(np.cumsum(varint_decode(r.doc_bytes))
-                              .astype(np.int64) + np.int64(r.min_doc))
-                tf_l.append(varint_decode(r.tf_bytes).astype(np.int64))
-                dl_l.append(varint_decode(r.dl_bytes).astype(np.int64))
-            doc = np.concatenate(docs_l)
-            order = np.argsort(doc, kind="stable")
-            frame = pd.DataFrame({
-                "term": pdf["term"].iloc[0],
-                "range_id": pdf["range_id"].iloc[0],
-                "doc_id": doc[order],
-                "tf": np.concatenate(tf_l)[order],
-                "doclen": np.concatenate(dl_l)[order]})
-            return _encode_batch(frame)[_BLOCK_COLS]
-
         def merge_stream(batches):
             """One vectorized pass over a (term, range_id)-sorted
             partition: singleton keys pass through UNDECODED; only
@@ -682,6 +668,17 @@ class IndexWriter:
                 yield from _emit(carry)
 
         def _emit(pdf: pd.DataFrame):
+            """Singleton keys pass through UNDECODED; duplicated keys
+            merge via ONE vectorized decode + re-encode over the whole
+            batch. Per-group Python calls (_merge_group) are the scale
+            trap the sf1 bench exposed: a 20M-turn build leaves ~6
+            bucket-fragments per (term, range) — ~13M groups — and at
+            ~ms per Python-level group merge compact runs for hours.
+            Vectorized: varints are self-delimiting, so the batch's
+            payloads decode in ONE pass over the concatenated bytes;
+            doc deltas rebase via a segmented cumsum; postings lexsort
+            by (group, doc); ``_encode_batch`` (the build's own
+            vectorized encoder) re-blocks everything at once."""
             key = (pdf["term"].astype(str) + "\x00" +
                    pdf["range_id"].astype(str)).to_numpy()
             starts = np.nonzero(np.r_[True, key[1:] != key[:-1]])[0]
@@ -692,23 +689,109 @@ class IndexWriter:
             singles = pdf[single_mask]
             if len(singles):
                 yield singles[_BLOCK_COLS]
-            for a, b in zip(starts[sizes > 1], ends[sizes > 1]):
-                yield _merge_group(pdf.iloc[a:b])
+            if single_mask.all():
+                return
+            multi = pdf[~single_mask]
+            mkey = key[~single_mask]
+            cnt_all = multi["n"].to_numpy(np.int64)  # postings per row
+            # chunk by POSTING budget, not row count: Zipf-head block
+            # rows carry ~10^4 postings each, so an unbounded batch
+            # of head rows would materialize ~10^8-element temps.
+            # Chunk boundaries must not split a (term, range) group —
+            # snap each cut forward to the next group boundary.
+            budget = 4_000_000
+            cum = cnt_all.cumsum()
+            cuts = [0]
+            while cuts[-1] < len(multi):
+                nxt = int(np.searchsorted(
+                    cum, (cum[cuts[-1] - 1] if cuts[-1] else 0)
+                    + budget)) + 1
+                nxt = min(nxt, len(multi))
+                while nxt < len(multi) and mkey[nxt] == mkey[nxt - 1]:
+                    nxt += 1
+                cuts.append(nxt)
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                yield _merge_rows(multi.iloc[a:b])
+
+        def _merge_rows(multi: pd.DataFrame) -> pd.DataFrame:
+            """Vectorized fragment merge of a (term, range_id,
+            min_doc)-sorted slice of duplicated block rows: ONE varint
+            decode per payload column over the concatenated bytes, a
+            segmented cumsum to rebase doc deltas, and ONE
+            ``_encode_batch`` re-encode. No per-posting sort: the
+            partition sort orders each group's fragments by min_doc,
+            and fragments cover disjoint doc intervals (build buckets
+            partition the doc space), so concatenation IS doc order —
+            verified by a cheap monotonicity check with a lexsort
+            fallback."""
+            cnt = multi["n"].to_numpy(np.int64)
+            deltas = varint_decode(
+                b"".join(multi["doc_bytes"])).astype(np.int64)
+            tf = varint_decode(
+                b"".join(multi["tf_bytes"])).astype(np.int64)
+            dl = varint_decode(
+                b"".join(multi["dl_bytes"])).astype(np.int64)
+            seg_start = cnt.cumsum() - cnt
+            c = deltas.cumsum()
+            base = np.repeat(c[seg_start] - deltas[seg_start]
+                             - multi["min_doc"].to_numpy(np.int64), cnt)
+            doc = c - base
+            term = np.repeat(multi["term"].to_numpy(object), cnt)
+            rid = np.repeat(multi["range_id"].to_numpy(np.int64), cnt)
+            # monotonic within each group already? (group starts may
+            # step doc backwards — mask those positions out)
+            new_grp = np.r_[True, (term[1:] != term[:-1])
+                            | (rid[1:] != rid[:-1])]
+            if not (np.diff(doc) > 0)[~new_grp[1:]].all():
+                order = np.lexsort(  # pragma: no cover — safety net
+                    (doc, rid, term))
+                term, rid = term[order], rid[order]
+                doc, tf, dl = doc[order], tf[order], dl[order]
+            frame = pd.DataFrame({"term": term, "range_id": rid,
+                                  "doc_id": doc, "tf": tf,
+                                  "doclen": dl})
+            return _encode_batch(frame)[_BLOCK_COLS]
 
         blocks = spark.read.parquet(*table_paths(self.root, "postings"))
-        # ONE range exchange on (term, range_id): each output file owns
-        # a CONTIGUOUS term span, so file- and row-group-level min/max
-        # statistics prune a term lookup to the one or two files that
-        # hold it. (Hash partitioning scatters terms across every
-        # file — each file's term stats then span the whole vocabulary
-        # and NOTHING prunes: measured 0.18 s vs 0.01 s per serving
-        # lookup.) The composite key lets the range partitioner split
-        # a hot term at range_id boundaries, so Zipf-head terms cannot
-        # skew one output file; the sampling pass reads the pre-merge
-        # parquet, not the merge output, so the merge itself still
-        # runs once.
-        (blocks.repartitionByRange(self._parts(spark), "term", "range_id")
-               .sortWithinPartitions("term", "range_id")
+        # ONE exchange routing each CONTIGUOUS term span to its own
+        # partition, so every output file owns a term range and file-/
+        # row-group-level min/max statistics prune a serving lookup to
+        # the one or two files that hold it. (Hash partitioning
+        # scatters terms across every file — each file's term stats
+        # then span the whole vocabulary and NOTHING prunes: measured
+        # 0.18 s vs 0.01 s per serving lookup.)
+        #
+        # Boundaries are POSTING-MASS-WEIGHTED, not row-sampled:
+        # Spark's repartitionByRange samples ROWS, but merge work is
+        # proportional to POSTINGS, and a Zipf head term's ~10^4×
+        # heavier rows are a negligible row fraction — row-quantile
+        # boundaries land between terms and pile the whole head into
+        # whichever partitions its terms sort into (measured at 20M
+        # turns: one straggler task with ~50% of the corpus's posting
+        # mass ran 8× longer than the rest). One metadata-only agg
+        # (term → Σn; byte payloads pruned away) + exact-preimage
+        # routing keys gives every partition ≈ equal posting mass;
+        # a single mega-term still lands whole, bounding the heaviest
+        # partition at that term's own mass share (split heavy terms
+        # at range_id boundaries if that ever dominates). At
+        # vocabularies too large to collect, aggregate to a term
+        # prefix instead (same routing, coarser spans).
+        parts = self._parts(spark)
+        mass = (blocks.groupBy("term").agg(F.sum("n").alias("m"))
+                .orderBy("term").toPandas())
+        cumw = mass["m"].to_numpy(np.float64).cumsum()
+        total_m = float(cumw[-1]) if len(cumw) else 1.0
+        pid = np.minimum((cumw - mass["m"].to_numpy(np.float64) / 2)
+                         / total_m * parts,
+                         parts - 1).astype(np.int64)
+        pkeys = np.array(_partition_keys(spark, parts), dtype=np.int64)
+        mapping = spark.createDataFrame(
+            pd.DataFrame({"term": mass["term"],
+                          "pkey": pkeys[pid]}))
+        (blocks.join(F.broadcast(mapping), "term")
+               .repartition(parts, "pkey")
+               .sortWithinPartitions("term", "range_id", "min_doc")
+               .drop("pkey")
                .mapInPandas(merge_stream,
                             schema=blocks.select(*_BLOCK_COLS).schema)
                .write.mode("overwrite")

@@ -181,16 +181,19 @@ def _decode_asset(content: bytes) -> tuple[int, int, int, np.ndarray, bool]:
 
 
 def extract_features(assets: DataFrame,
-                     batch_partitions: int | None = None) -> DataFrame:
+                     batch_partitions: int | None = None,
+                     fallback_acc=None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow binary batches).
     Real decode for PNG/WAV/Y4M payloads, stub for opaque formats AND
     for items the real kernels reject — per-item degradation, see
-    ``_decode_asset``. Stub fallbacks are counted in the
-    ``mm.decode_stub_fallbacks`` accumulator for observability."""
+    ``_decode_asset``. Stub fallbacks are counted in ``fallback_acc``
+    (a Spark accumulator; one is created internally when not given)
+    for observability."""
     df = assets
     if batch_partitions:
         df = df.repartition(batch_partitions)
-    fallbacks = df.sparkSession.sparkContext.accumulator(0)
+    fallbacks = fallback_acc if fallback_acc is not None else \
+        df.sparkSession.sparkContext.accumulator(0)
 
     def run(batches):
         for pdf in batches:
@@ -257,7 +260,12 @@ def near_dup_by_embedding(features: DataFrame,
     8-bit bands keep buckets selective while the 4-way OR keeps
     recall); pairwise cosine only WITHIN band buckets (no O(n²) cross
     join). At 10^12 rows raise the bits per band (e.g. 4×16) —
-    selectivity scales as 2^bits per band."""
+    selectivity scales as 2^bits per band.
+
+    ``features`` is referenced three times in the plan (signature
+    branch + two candidate fetch joins): pass a MATERIALIZED table
+    (parquet/Iceberg), not an unpersisted decode stage, or the decode
+    runs three times."""
     planes = mm_planes()
     bits = [
         F.when(

@@ -162,9 +162,11 @@ def test_decode_fallback_per_item(spark):
         [("/assets/image/bad.png", "image", len(bad_png),
           bytearray(bad_png))],
         schema=good.schema)
-    feats = (extract_features(good.unionByName(bad))
+    acc = spark.sparkContext.accumulator(0)
+    feats = (extract_features(good.unionByName(bad), fallback_acc=acc)
              .toPandas().set_index("path"))
     assert len(feats) == 4  # nothing killed the batch
+    assert acc.value == 1  # exactly the corrupted item degraded
     w, h, _v = real_image_dims(0)
     assert (feats.loc["/assets/image/000000.png", "width"],
             feats.loc["/assets/image/000000.png", "height"]) == (w, h)
