@@ -52,7 +52,7 @@ SF1_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_CONVS",
 def _steal_sample() -> tuple[int, int]:
     """(steal_ticks, total_ticks) from /proc/stat — this host is a
     virtualized box with multi-minute steal bursts that swing wall
-    time ±40%; every timed segment records the steal%% it ran under
+    time ±40%; every timed segment records the steal% it ran under
     so a burst-confounded number is visible in the record itself."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
@@ -156,7 +156,7 @@ def bench_build_and_query(results: dict) -> None:
         # MEDIAN OF PER-PAIR RATIOS, so host drift slower than one
         # pair cancels inside the ratio instead of confounding it.
         # Peak (all-core) runs are interleaved between pairs and
-        # carry per-run steal%% so burst-hit runs are identifiable.
+        # carry per-run steal% so burst-hit runs are identifiable.
         build = {"n_turns": n_turns, "n_convs": N_CONVS,
                  "repeats": REPEATS}
         ratio = HIGH_PAR / LOW_PAR
@@ -372,7 +372,7 @@ def bench_sf1(results: dict) -> None:
     behavior at 10× vocab mass, and that serving latency stays
     interactive when the index is 10× larger. One shot (no repeats —
     the section exists to catch scaling cliffs, not to be a tight
-    timing); steal%% recorded for honesty."""
+    timing); steal% recorded for honesty."""
     from embedanything_spark.datagen import (gen_query_set,
                                              gen_transcripts_df)
     from embedanything_spark.index.build import IndexWriter
@@ -502,7 +502,7 @@ ratio instead of deciding the comparison.
 | no prune (exhaustive) | {pc['batch_50_sec_noprune']} | {pc['batch_50_sec_noprune_all']} | {pc['decoded_ranges_noprune']} |
 
 **Prune/noprune wall-clock ratio: {pc['prune_speedup_ratio']}**
-(per-pair: {pc['pair_ratios']}; < 1.0 = pruning wins; steal%% per
+(per-pair: {pc['pair_ratios']}; < 1.0 = pruning wins; steal% per
 pair: {pc['steal_pct_pairs']}).
 **Pruning skips {pc['decode_skip_pct']}% of block decodes** and the
 results are bit-identical (property-tested pruned == unpruned). At
@@ -553,7 +553,7 @@ threads ride free on idle cores) with its own discarded warmup build
 (JIT/Arrow/shuffle paths + page cache). Efficiency = MEDIAN OF
 PER-PAIR RATIOS, so host steal drift slower than one pair cancels
 inside the ratio. Peak (all-core) runs are interleaved between pairs;
-every timed run records the steal%% it ran under.
+every timed run records the steal% it ran under.
 
 | parallelism | median build sec | all runs | steal%/run | turns/sec |
 |---|---|---|---|---|
