@@ -87,10 +87,18 @@ def _merge_topk(best_doc, best_score, doc, score, k):
 # beyond the cap blocks are decoded without being retained.
 _MAX_CACHED_BLOCKS = 8192
 
+# Serving-path split between bulk and lazy payload fetch: a term whose
+# total postings (Σn over its blocks) exceed this rides the LAZY path —
+# its payload bytes are read per-decoded-range so the block-max bound
+# sweep can skip the read itself. Below it, payloads are cheap enough
+# that one bulk read beats per-range round trips.
+_HEAVY_TERM_POSTINGS = 1 << 18
+
 
 def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
                              prune: bool, decode_acc=None,
-                             dfs: dict | None = None):
+                             dfs: dict | None = None,
+                             payload_fetch=None):
     """qinfo: {query_id: {"k": int, "terms": [term, ...]}}. Per-term
     global df arrives either as a ``df`` column on the block rows or
     via ``dfs`` ({term: df}, resolved driver-side from the term-sorted
@@ -99,6 +107,13 @@ def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
     OUT of the per-query Spark job entirely).
     ``decode_acc``: optional Spark accumulator counting DECODED ranges
     (pruning-effectiveness instrumentation).
+    ``payload_fetch``: serving-path LAZY payload loader —
+    ``payload_fetch([(term, min_doc), ...], range_id) -> {(term,
+    min_doc): (doc_bytes, tf_bytes, dl_bytes)}``. When given, rows may
+    arrive with ``None`` payloads (heavy terms); the sweep fetches a
+    range's missing payloads only when the bound test says that range
+    actually decodes. Block-max pruning then saves the dominant
+    serving cost — the payload READ — not just the decode CPU.
 
     The sweep is pure numpy: one stable term-major sort of the pooled
     block rows up front, per-term contiguous row slices, and a decode
@@ -200,6 +215,17 @@ def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
                     break  # strict: ties at the k-th score still scored
                 if decode_acc is not None:
                     decode_acc.add(1)
+                if payload_fetch is not None:
+                    miss = [int(i) for i in sel[rstarts[j]:rends[j]]
+                            if doc_b[i] is None and i not in cache]
+                    if miss:
+                        got = payload_fetch(
+                            [(term_arr[i], int(min_doc[i]))
+                             for i in miss],
+                            int(rids[rstarts[j]]))
+                        for i in miss:
+                            doc_b[i], tf_b[i], dl_b[i] = \
+                                got[(term_arr[i], int(min_doc[i]))]
                 docs_l, contrib_l = [], []
                 for i in sel[rstarts[j]:rends[j]]:
                     d, tf, dl = decode_row(int(i))
@@ -428,18 +454,56 @@ class IndexReader:
         if not qinfo:
             return empty
         dfs = self._term_dfs(sorted(all_terms))
-        need = ["term", "range_id", "min_doc", "max_tf", "min_dl",
-                "doc_bytes", "tf_bytes", "dl_bytes", "max_impact"]
         dset = self._dataset("postings")
-        cols = [c for c in need if c in dset.schema.names]
-        blocks = (dset.to_table(columns=cols,
+        names = dset.schema.names
+        payload = [c for c in ("doc_bytes", "tf_bytes", "dl_bytes")
+                   if c in names]
+        meta_cols = [c for c in ("term", "range_id", "n", "min_doc",
+                                 "max_tf", "min_dl", "max_impact")
+                     if c in names]
+        # METADATA-FIRST fetch: bounds need no payload bytes. Payloads
+        # of LIGHT terms (small total postings) ride along in one bulk
+        # read; HEAVY (Zipf-head) terms' payloads — megabytes per term
+        # on a large index — are fetched lazily per decoded range, so
+        # block-max pruning skips their READ, not just their decode
+        # (measured at 20M turns: a head-term lookup bulk-fetches
+        # tens of MB it then mostly never decodes).
+        blocks = (dset.to_table(columns=meta_cols,
                                 filter=_term_filter(sorted(all_terms)))
                   .to_pandas())
         if blocks.empty:
             return empty
+        fetcher = None
+        if "n" in blocks.columns and payload:
+            tot = blocks.groupby("term")["n"].sum()
+            light = sorted(tot[tot <= _HEAVY_TERM_POSTINGS].index)
+            heavy = sorted(tot[tot > _HEAVY_TERM_POSTINGS].index)
+        else:  # legacy index without n: bulk-fetch everything
+            light = sorted(all_terms)
+            heavy = []
+        for c in payload:
+            blocks[c] = None
+        if light:
+            lp = (dset.to_table(columns=["term", "min_doc"] + payload,
+                                filter=_term_filter(light))
+                  .to_pandas())
+            merged = blocks.merge(lp, on=["term", "min_doc"],
+                                  how="left", suffixes=("_x", ""))
+            for c in payload:
+                blocks[c] = merged[c].to_numpy(object)
+        if heavy:
+            def fetcher(keys, rid):
+                terms = sorted({t for t, _ in keys})
+                tbl = (dset.to_table(
+                    columns=["term", "min_doc"] + payload,
+                    filter=_term_filter(terms)
+                    & (pc.field("range_id") == rid)).to_pandas())
+                return {(r.term, int(r.min_doc)):
+                        (r.doc_bytes, r.tf_bytes, r.dl_bytes)
+                        for r in tbl.itertuples()}
         kernel = _score_partition_factory(
             qinfo, self.meta["n_docs"], self.meta["avgdl"], prune,
-            decode_acc, dfs=dfs)
+            decode_acc, dfs=dfs, payload_fetch=fetcher)
         parts = list(kernel([blocks]))
         if not parts:
             return empty

@@ -217,3 +217,30 @@ def test_bm25_dataframe_plan_no_term_window(spark):
     plan = buf.getvalue()
     assert "Window" not in plan, "per-term window exchange is back"
     assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+
+
+def test_serving_lazy_payload_rank_identity(spark, tmp_path,
+                                            queries_pdf, monkeypatch):
+    """Serving's lazy heavy-term payload path is rank-identical to the
+    bulk path: force EVERY term onto the lazy path (threshold 0) and
+    compare against the untouched bulk fetch, pruned and unpruned,
+    plus decode parity (the lazy read must not change what the bound
+    sweep decodes)."""
+    from embedanything_spark.index import query as qmod
+
+    t = gen_transcripts_df(spark, 60)
+    root = str(tmp_path / "lazy")
+    IndexWriter(root, block_range=64, num_partitions=2).build(t)
+    reader = IndexReader(None, root)
+    q = queries_pdf.head(12)
+    bulk_cnt = _Counter()
+    bulk = reader.search_local(q, decode_acc=bulk_cnt)
+
+    monkeypatch.setattr(qmod, "_HEAVY_TERM_POSTINGS", 0)
+    lazy_reader = IndexReader(None, root)
+    lazy_cnt = _Counter()
+    lazy = lazy_reader.search_local(q, decode_acc=lazy_cnt)
+    pd.testing.assert_frame_equal(lazy, bulk)
+    assert lazy_cnt.n == bulk_cnt.n
+    unpruned = lazy_reader.search_local(q, prune=False)
+    pd.testing.assert_frame_equal(lazy, unpruned)
