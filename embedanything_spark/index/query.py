@@ -490,7 +490,12 @@ class IndexReader:
             merged = blocks.merge(lp, on=["term", "min_doc"],
                                   how="left", suffixes=("_x", ""))
             for c in payload:
-                blocks[c] = merged[c].to_numpy(object)
+                col = merged[c].to_numpy(object)
+                # heavy-term rows miss the left-merge and land as NaN;
+                # the kernel's lazy-miss test is `is None`, so
+                # normalize or the sweep would decode a float.
+                col[pd.isna(col)] = None
+                blocks[c] = col
         if heavy:
             def fetcher(keys, rid):
                 terms = sorted({t for t, _ in keys})

@@ -244,3 +244,23 @@ def test_serving_lazy_payload_rank_identity(spark, tmp_path,
     assert lazy_cnt.n == bulk_cnt.n
     unpruned = lazy_reader.search_local(q, prune=False)
     pd.testing.assert_frame_equal(lazy, unpruned)
+
+    # MIXED light/heavy split — the path a realistic Zipf corpus
+    # actually takes (the sf1 index crashed here once: heavy-term
+    # rows miss the light bulk-merge and must land as None, not the
+    # merge's NaN, or the sweep decodes a float)
+    import pyarrow.dataset as ds
+
+    tot = (ds.dataset(
+        [str(p) for p in __import__("pathlib").Path(root).rglob(
+            "*.parquet") if "kind=block" in str(p)])
+        .to_table(columns=["term", "n"]).to_pandas()
+        .groupby("term")["n"].sum())
+    assert tot.nunique() > 1, "fixture must have uneven term mass"
+    monkeypatch.setattr(qmod, "_HEAVY_TERM_POSTINGS",
+                        int(tot.median()))
+    mixed_reader = IndexReader(None, root)
+    pd.testing.assert_frame_equal(
+        mixed_reader.search_local(q, decode_acc=(m_cnt := _Counter())),
+        bulk)
+    assert m_cnt.n == bulk_cnt.n
