@@ -52,6 +52,8 @@ def varint_decode(buf: bytes) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (b & 0x80) == 0
+    if is_end.all():  # every value < 128: the bytes ARE the values
+        return b.astype(np.uint64)
     ends = np.nonzero(is_end)[0]
     starts = np.empty_like(ends)
     starts[0] = 0

@@ -76,6 +76,15 @@ def _idf(n_docs: int, df: np.ndarray) -> np.ndarray:
 def _merge_topk(best_doc, best_score, doc, score, k):
     d = np.concatenate([best_doc, doc])
     s = np.concatenate([best_score, score])
+    if len(d) > 4 * k:
+        # O(n) preselect: keep everything scoring >= the k-th largest
+        # (ties at the cut INCLUDED, so the doc-id tiebreak below sees
+        # exactly the same contenders) — a full lexsort of a 65k-doc
+        # range per visited range was the serving path's hottest spot
+        # (1.5 s of a 5 s worst-case query at 20M turns).
+        kth = np.partition(s, len(s) - k)[len(s) - k]
+        keep = s >= kth
+        d, s = d[keep], s[keep]
     order = np.lexsort((d, -s))[:k]
     return d[order], s[order]
 
@@ -93,6 +102,14 @@ _MAX_CACHED_BLOCKS = 8192
 # one of its ranges (then all at once, term-granular, memoized). Below
 # it, payloads are cheap enough that one shared bulk read wins.
 _HEAVY_TERM_POSTINGS = 1 << 18
+
+# The lazy split is applied only on NON-LOCAL index roots by default:
+# on page-cached local disk the skipped read is nearly free and the
+# extra metadata-first pass costs ~5% (measured paired at 20M turns,
+# lazy/bulk 1.05); on remote object storage the payload bytes are the
+# dominant per-query cost and skipping them is the point. Flip to True
+# to force the lazy split on local roots (tests do).
+_LAZY_ON_LOCAL = False
 
 
 def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
@@ -232,6 +249,14 @@ def _score_partition_factory(qinfo: dict, n_docs: int, avgdl: float,
                     denom = tf + K1 * (1.0 - B + B * dl / avgdl)
                     docs_l.append(d)
                     contrib_l.append(idf[i] * (tf * (K1 + 1.0)) / denom)
+                if len(docs_l) == 1:
+                    # one posting row in this range: docs are already
+                    # strictly ascending and unique — no sort, no
+                    # per-doc regroup
+                    best_doc, best_score = _merge_topk(
+                        best_doc, best_score, docs_l[0],
+                        contrib_l[0], k)
+                    continue
                 doc = np.concatenate(docs_l)
                 contrib = np.concatenate(contrib_l)
                 o = np.argsort(doc, kind="stable")  # in-doc: term order
@@ -280,6 +305,10 @@ class IndexReader:
         # via index_fs — the reader never requires POSIX visibility.
         self.root = str(root)
         self.asof = asof
+        from pyarrow import fs as pafs
+        from embedanything_spark.index.build import index_fs
+        self._local_root = isinstance(index_fs(self.root)[0],
+                                      pafs.LocalFileSystem)
         meta_text = read_index_text(self.root, "_meta/meta.json")
         if meta_text is None:
             raise FileNotFoundError(
@@ -461,12 +490,27 @@ class IndexReader:
         meta_cols = [c for c in ("term", "range_id", "n", "min_doc",
                                  "max_tf", "min_dl", "max_impact")
                      if c in names]
-        # METADATA-FIRST fetch: bounds need no payload bytes. Payloads
-        # of LIGHT terms (small total postings) ride along in one bulk
-        # read; HEAVY (Zipf-head) terms' payloads — megabytes per term
-        # on a large index — are fetched lazily on first decode
-        # (term-granular, below), so a head term the bound sweep
-        # prunes wholesale never pays its READ, not just its decode.
+        lazy_split = payload and (_LAZY_ON_LOCAL or not self._local_root)
+        if not lazy_split:
+            # LOCAL root: one read of bounds + payloads together —
+            # page cache makes the payload bytes nearly free, so the
+            # metadata-first split below would only add a pass.
+            blocks = (dset.to_table(
+                columns=meta_cols + payload,
+                filter=_term_filter(sorted(all_terms))).to_pandas())
+            if blocks.empty:
+                return empty
+            kernel = _score_partition_factory(
+                qinfo, self.meta["n_docs"], self.meta["avgdl"], prune,
+                decode_acc, dfs=dfs)
+            return self._finish_local(kernel, blocks, empty)
+        # REMOTE root — METADATA-FIRST fetch: bounds need no payload
+        # bytes. Payloads of LIGHT terms (small total postings) ride
+        # along in one bulk read; HEAVY (Zipf-head) terms' payloads —
+        # megabytes per term on a large index — are fetched lazily on
+        # first decode (term-granular, below), so a head term the
+        # bound sweep prunes wholesale never pays its READ (the
+        # dominant remote per-query cost), not just its decode.
         blocks = (dset.to_table(columns=meta_cols,
                                 filter=_term_filter(sorted(all_terms)))
                   .to_pandas())
@@ -525,6 +569,13 @@ class IndexReader:
         kernel = _score_partition_factory(
             qinfo, self.meta["n_docs"], self.meta["avgdl"], prune,
             decode_acc, dfs=dfs, payload_fetch=fetcher)
+        return self._finish_local(kernel, blocks, empty)
+
+    def _finish_local(self, kernel, blocks, empty) -> pd.DataFrame:
+        """Run the scoring kernel over the pooled block rows, rank the
+        ≤k survivors per query, and join turn metadata (both the bulk
+        and lazy serving fetch paths end here)."""
+        import pyarrow.compute as pc
         parts = list(kernel([blocks]))
         if not parts:
             return empty

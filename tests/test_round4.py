@@ -236,6 +236,7 @@ def test_serving_lazy_payload_rank_identity(spark, tmp_path,
     bulk_cnt = _Counter()
     bulk = reader.search_local(q, decode_acc=bulk_cnt)
 
+    monkeypatch.setattr(qmod, "_LAZY_ON_LOCAL", True)
     monkeypatch.setattr(qmod, "_HEAVY_TERM_POSTINGS", 0)
     lazy_reader = IndexReader(None, root)
     lazy_cnt = _Counter()
