@@ -265,3 +265,44 @@ def test_serving_lazy_payload_rank_identity(spark, tmp_path,
         mixed_reader.search_local(q, decode_acc=(m_cnt := _Counter())),
         bulk)
     assert m_cnt.n == bulk_cnt.n
+
+
+def test_lazy_split_regime_default(spark, tmp_path, queries_pdf,
+                                   monkeypatch):
+    """The lazy heavy-term payload split is REGIME-AWARE: a local
+    index root (plain path or file:// URI) takes the one-pass bulk
+    read (page cache makes payload bytes nearly free — measured 1.05
+    lazy/bulk at sf1 post-kernel-opts), while a root on any
+    non-local pyarrow filesystem engages the metadata-first lazy
+    split (skipped payload READS are the point there). Simulated
+    end-to-end with a SubTreeFileSystem — a real pyarrow FS that is
+    not a LocalFileSystem — and the results must stay identical."""
+    from pyarrow import fs as pafs
+
+    from embedanything_spark.index import build as bmod
+    from embedanything_spark.index import query as qmod
+
+    t = gen_transcripts_df(spark, 50)
+    root = str(tmp_path / "regime")
+    IndexWriter(root, block_range=64, num_partitions=2).build(t)
+    q = queries_pdf.head(8)
+
+    bulk_reader = IndexReader(None, root)
+    assert bulk_reader._local_root is True
+    assert IndexReader(None, "file://" + root)._local_root is True
+    bulk = bulk_reader.search_local(q)
+
+    real_index_fs = bmod.index_fs
+
+    def nonlocal_index_fs(r):
+        fsys, base = real_index_fs(r)
+        if isinstance(fsys, pafs.LocalFileSystem):
+            fsys = pafs.SubTreeFileSystem("/", fsys)
+        return fsys, base
+
+    monkeypatch.setattr(bmod, "index_fs", nonlocal_index_fs)
+    # force every term heavy so the lazy fetcher actually runs
+    monkeypatch.setattr(qmod, "_HEAVY_TERM_POSTINGS", 0)
+    remote_reader = IndexReader(None, root)
+    assert remote_reader._local_root is False
+    pd.testing.assert_frame_equal(remote_reader.search_local(q), bulk)
