@@ -89,6 +89,15 @@ DOCS_PER_PARTITION = 10_000  # caps per-worker memory in the fused pass
 IMPACT_LADDER = (8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0, 1024.0,
                  2048.0, 4096.0, 8192.0, 16384.0)
 
+# compact()'s posting-mass boundaries: exact per-term mass up to this
+# many distinct terms (driver pandas + broadcast mapping stay small);
+# beyond it, mass aggregates to a _MASS_PREFIX_LEN-char term prefix —
+# order-preserving (fixed-length truncation), so term-range file
+# contiguity survives, with the routing table bounded by the prefix
+# universe instead of the vocabulary.
+_EXACT_MASS_TERMS = 2_000_000
+_MASS_PREFIX_LEN = 4
+
 _PKEY_CACHE: dict[tuple[str, int], list[int]] = {}
 
 
@@ -773,12 +782,22 @@ class IndexWriter:
         # routing keys gives every partition ≈ equal posting mass;
         # a single mega-term still lands whole, bounding the heaviest
         # partition at that term's own mass share (split heavy terms
-        # at range_id boundaries if that ever dominates). At
-        # vocabularies too large to collect, aggregate to a term
-        # prefix instead (same routing, coarser spans).
+        # at range_id boundaries if that ever dominates). Above
+        # _EXACT_MASS_TERMS distinct terms, the mass/routing key
+        # coarsens to a fixed-length term PREFIX: fixed-length
+        # truncation is lexicographic-order-preserving, so files stay
+        # term-span-contiguous, while driver rows and the broadcast
+        # mapping stay bounded by the prefix universe instead of
+        # growing with the vocabulary (a web-scale dictionary would
+        # otherwise turn this collect into a driver-OOM cliff).
         parts = self._parts(spark)
-        mass = (blocks.groupBy("term").agg(F.sum("n").alias("m"))
-                .orderBy("term").toPandas())
+        n_terms = blocks.agg(F.approx_count_distinct("term")
+                             .alias("c")).collect()[0]["c"]
+        rkey = (F.col("term") if n_terms <= _EXACT_MASS_TERMS
+                else F.substring("term", 1, _MASS_PREFIX_LEN))
+        mass = (blocks.groupBy(rkey.alias("rkey"))
+                .agg(F.sum("n").alias("m"))
+                .orderBy("rkey").toPandas())
         cumw = mass["m"].to_numpy(np.float64).cumsum()
         total_m = float(cumw[-1]) if len(cumw) else 1.0
         pid = np.minimum((cumw - mass["m"].to_numpy(np.float64) / 2)
@@ -786,12 +805,13 @@ class IndexWriter:
                          parts - 1).astype(np.int64)
         pkeys = np.array(_partition_keys(spark, parts), dtype=np.int64)
         mapping = spark.createDataFrame(
-            pd.DataFrame({"term": mass["term"],
+            pd.DataFrame({"rkey": mass["rkey"],
                           "pkey": pkeys[pid]}))
-        (blocks.join(F.broadcast(mapping), "term")
+        (blocks.withColumn("rkey", rkey)
+               .join(F.broadcast(mapping), "rkey")
                .repartition(parts, "pkey")
                .sortWithinPartitions("term", "range_id", "min_doc")
-               .drop("pkey")
+               .drop("pkey", "rkey")
                .mapInPandas(merge_stream,
                             schema=blocks.select(*_BLOCK_COLS).schema)
                .write.mode("overwrite")
@@ -811,34 +831,56 @@ class IndexWriter:
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                           time.gmtime()),
         }
-        tmp = self.root / "_meta/lineage.jsonl.tmp"
-        tmp.write_text(json.dumps(lineage) + "\n")
-        os.replace(tmp, self.root / "_meta/lineage.jsonl")  # ← atomic
         # RETENTION, not deletion: superseded batch dirs are only
         # RETIRED here and physically removed on the NEXT compaction
         # (or an explicit expire_retired()). A long-lived serving
         # reader (server.py holds one IndexReader with memoized
         # pyarrow datasets) opened before this compact keeps reading
         # valid files — the same reason Iceberg keeps superseded files
-        # until snapshot expiry.
+        # until snapshot expiry. Crash-ordering: (1) expire the
+        # PREVIOUS cycle's dirs, (2) record this cycle's dirs as
+        # retired, (3) swap lineage — so the superseded dirs are
+        # always reachable from retired.json OR lineage (never
+        # leaked); _expire_retired's lineage guard makes a crash
+        # between (2) and (3) harmless (the listed dirs are still
+        # committed, so a later expire skips them).
         self._expire_retired()
         retired = [f"batch-{ln['batch_id']}" for ln in old_lineage]
         rtmp = self.root / "_meta/retired.json.tmp"
         rtmp.write_text(json.dumps({"dirs": retired}))
         os.replace(rtmp, self.root / "_meta/retired.json")
+        tmp = self.root / "_meta/lineage.jsonl.tmp"
+        tmp.write_text(json.dumps(lineage) + "\n")
+        os.replace(tmp, self.root / "_meta/lineage.jsonl")  # ← atomic
         self.finalize(spark)
         return lineage
 
     def _expire_retired(self) -> None:
         """Physically delete batch dirs retired by a PREVIOUS compact
-        (the retention window is one compaction cycle)."""
+        (the retention window is one compaction cycle). Dirs still
+        referenced by the committed lineage are NEVER deleted — that
+        state only arises from a compact that crashed after recording
+        retirement but before swapping lineage, and those dirs are
+        live."""
         import shutil
         f = self.root / "_meta/retired.json"
         if not f.exists():
             return
+        committed = {f"batch-{ln['batch_id']}"
+                     for ln in committed_lineage(self.root)}
+        kept = []
         for d in json.loads(f.read_text()).get("dirs", []):
-            shutil.rmtree(self.root / "data" / d, ignore_errors=True)
-        f.unlink(missing_ok=True)
+            if d in committed:
+                kept.append(d)
+            else:
+                shutil.rmtree(self.root / "data" / d,
+                              ignore_errors=True)
+        if kept:
+            rtmp = self.root / "_meta/retired.json.tmp"
+            rtmp.write_text(json.dumps({"dirs": kept}))
+            rtmp.replace(self.root / "_meta/retired.json")
+        else:
+            f.unlink(missing_ok=True)
 
     def expire_retired(self) -> None:
         """Explicit GC of retired batch dirs (Iceberg
@@ -1000,9 +1042,17 @@ class CheckpointedIndexBuilder:
         tdir = self.w.root / "data"
         if not tdir.exists():
             return
+        # RETIRED dirs are not in lineage but are NOT orphans: they
+        # are superseded-by-compaction dirs inside their retention
+        # window, possibly still being read by a live serving reader.
+        retired: set[str] = set()
+        rf = self.w.root / "_meta/retired.json"
+        if rf.exists():
+            retired = set(json.loads(rf.read_text()).get("dirs", []))
         for d in tdir.iterdir():
             if d.name.startswith("batch-") and \
-                    d.name[len("batch-"):] not in committed:
+                    d.name[len("batch-"):] not in committed and \
+                    d.name not in retired:
                 shutil.rmtree(d)
 
     def run(self, transcripts: DataFrame,

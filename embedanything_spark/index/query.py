@@ -74,6 +74,8 @@ def _idf(n_docs: int, df: np.ndarray) -> np.ndarray:
 
 
 def _merge_topk(best_doc, best_score, doc, score, k):
+    if k <= 0:  # np.partition would raise on kth = len(s)
+        return best_doc[:0], best_score[:0]
     d = np.concatenate([best_doc, doc])
     s = np.concatenate([best_score, score])
     if len(d) > 4 * k:
@@ -353,12 +355,18 @@ class IndexReader:
             from pyarrow import fs as pafs
             from embedanything_spark.index.build import (index_fs,
                                                          join_path)
-            fsys, _base = index_fs(self.root)
+            fsys, base = index_fs(self.root)
+            root_s, base = str(self.root).rstrip("/"), base.rstrip("/")
 
             def _ls(d: str) -> list[str]:
-                # fs-relative listing (strip any URI scheme — the
-                # filesystem object already encodes it)
-                rel = d.split("://", 1)[-1]
+                # fs-relative listing: swap the root prefix for
+                # index_fs's fs-relative base — a URI's scheme AND
+                # authority live in the filesystem object (naive
+                # scheme-stripping kept an hdfs://host:port authority
+                # in the path and silently listed nothing).
+                rel = (base + d.rstrip("/")[len(root_s):]
+                       if d.startswith(root_s)
+                       else d.split("://", 1)[-1])
                 sel = pafs.FileSelector(rel, allow_not_found=True)
                 return sorted(i.path for i in fsys.get_file_info(sel)
                               if i.base_name.endswith(".parquet"))
@@ -470,7 +478,11 @@ class IndexReader:
         all_terms: set[str] = set()
         for r in queries.itertuples():
             terms = sorted(set(tokenize(r.query_text)))
-            if terms:
+            if terms and int(r.k) > 0:
+                # k <= 0 asks for nothing: skip the query entirely —
+                # the kernel's prune branch and the top-k preselect
+                # both assume k >= 1 (an empty-result query is the
+                # same contract as an empty/unseen-terms query).
                 qinfo[int(r.query_id)] = {"k": int(r.k), "terms": terms}
                 all_terms.update(terms)
         empty = pd.DataFrame({
@@ -615,7 +627,11 @@ class IndexReader:
         all_terms: set[str] = set()
         for r in queries.itertuples():
             terms = sorted(set(tokenize(r.query_text)))
-            if terms:
+            if terms and int(r.k) > 0:
+                # k <= 0 asks for nothing: skip the query entirely —
+                # the kernel's prune branch and the top-k preselect
+                # both assume k >= 1 (an empty-result query is the
+                # same contract as an empty/unseen-terms query).
                 qinfo[int(r.query_id)] = {"k": int(r.k), "terms": terms}
                 all_terms.update(terms)
         if not qinfo:

@@ -294,7 +294,10 @@ def _xml_escape(s: str) -> str:
 # ---------------------------------------------------------------- PDF
 
 _DICT_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
-_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) pins the capture to the FULL integer before testing the
+# indirect-ref lookahead — without it, backtracking shrinks \d+ until
+# '/Length 12 0 R' "matches" with a bogus direct length of 1.
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _ENDSTREAM_RE = re.compile(rb"endstream")
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
 _TJA_RE = re.compile(rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ", re.DOTALL)
@@ -337,7 +340,13 @@ def pdf_to_text(data: bytes) -> str:
     pieces: list[bytes] = []
     for m in _DICT_STREAM_RE.finditer(data):
         start = m.end()
-        lm = _LENGTH_DIRECT_RE.search(m.group(1))
+        # the lazy <<(.*?)>> can span several objects between two
+        # streams; only the dict ADJACENT to this stream (after the
+        # last '<<') may supply its /Length — an earlier unrelated
+        # object's /Length would slice the wrong span.
+        g = m.group(1)
+        g = g[g.rfind(b"<<") + 2:] if b"<<" in g else g
+        lm = _LENGTH_DIRECT_RE.search(g)
         raw = None
         if lm:
             n = int(lm.group(1))

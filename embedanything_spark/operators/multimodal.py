@@ -188,7 +188,11 @@ def extract_features(assets: DataFrame,
     for items the real kernels reject — per-item degradation, see
     ``_decode_asset``. Stub fallbacks are counted in ``fallback_acc``
     (a Spark accumulator; one is created internally when not given)
-    for observability."""
+    for observability. Accumulator semantics: updates from
+    transformations are AT-LEAST-ONCE (task retries / plan
+    re-execution re-add), so treat the count as an upper bound on
+    degraded items — persist the frame before multi-action plans if
+    the exact count matters."""
     df = assets
     if batch_partitions:
         df = df.repartition(batch_partitions)

@@ -306,3 +306,70 @@ def test_lazy_split_regime_default(spark, tmp_path, queries_pdf,
     remote_reader = IndexReader(None, root)
     assert remote_reader._local_root is False
     pd.testing.assert_frame_equal(remote_reader.search_local(q), bulk)
+
+
+def test_search_k_zero_is_empty_not_crash(spark, tmp_path):
+    """k <= 0 asks for nothing: the query is skipped (same contract
+    as empty/unseen terms), never an IndexError from the prune
+    branch or a ValueError from the top-k preselect — mixed batches
+    keep serving the valid queries."""
+    t = gen_transcripts_df(spark, 30)
+    root = str(tmp_path / "kz")
+    IndexWriter(root, block_range=64, num_partitions=2).build(t)
+    reader = IndexReader(None, root)
+    q = pd.DataFrame({"query_id": [0, 1, 2],
+                      "query_text": ["term00000"] * 3,
+                      "k": [0, 3, -1]})
+    for prune in (True, False):
+        out = reader.search_local(q, prune=prune)
+        assert set(out["query_id"]) == {1}
+        assert len(out) == 3
+    only_zero = reader.search_local(q.head(1))
+    assert len(only_zero) == 0
+
+
+def test_cleanup_orphans_spares_retired_dirs(spark, tmp_path):
+    """An incremental build resumed against a compacted root must not
+    treat retired-but-retained batch dirs as orphans: they sit inside
+    their retention window and a live serving reader may still be
+    scanning them."""
+    t = gen_transcripts_df(spark, 30)
+    root = tmp_path / "orph"
+    w = IndexWriter(str(root), block_range=64, num_partitions=2)
+    CheckpointedIndexBuilder(w, n_batches=2).run(t)
+    reader = IndexReader(None, str(root))
+    q = _q("term00000")
+    base = reader.search_local(q)
+
+    w.compact(spark)
+    import json as _json
+    retired = _json.loads(
+        (root / "_meta/retired.json").read_text())["dirs"]
+    assert retired and all((root / "data" / d).exists()
+                           for d in retired)
+
+    # a new builder run (resume/incremental) triggers orphan cleanup
+    CheckpointedIndexBuilder(w, n_batches=1)._cleanup_orphans()
+    assert all((root / "data" / d).exists() for d in retired), \
+        "orphan cleanup deleted dirs inside their retention window"
+    pd.testing.assert_frame_equal(reader.search_local(q), base)
+
+
+def test_expire_retired_skips_committed_dirs(spark, tmp_path):
+    """_expire_retired's lineage guard: a retired.json that lists dirs
+    still in the committed lineage (the crash-between-record-and-swap
+    state) must not delete them — they are live."""
+    import json as _json
+
+    t = gen_transcripts_df(spark, 30)
+    root = tmp_path / "crashwin"
+    w = IndexWriter(str(root), block_range=64, num_partitions=2)
+    w.build(t)
+    live = [f"batch-{ln['batch_id']}" for ln in committed_lineage(root)]
+    (root / "_meta/retired.json").write_text(
+        _json.dumps({"dirs": live}))
+    w.expire_retired()
+    assert all((root / "data" / d).exists() for d in live)
+    # the guard keeps the still-live entries listed for a later cycle
+    kept = _json.loads((root / "_meta/retired.json").read_text())["dirs"]
+    assert set(kept) == set(live)
