@@ -373,3 +373,24 @@ def test_expire_retired_skips_committed_dirs(spark, tmp_path):
     # the guard keeps the still-live entries listed for a later cycle
     kept = _json.loads((root / "_meta/retired.json").read_text())["dirs"]
     assert set(kept) == set(live)
+
+
+def test_pdf_length_parsing_edges():
+    """/Length parsing edges: an indirect ref with object number >= 10
+    must not backtrack-match as a direct length, and an earlier
+    object's /Length must never slice a later stream (only the dict
+    adjacent to the stream supplies it)."""
+    import zlib
+
+    from embedanything_spark import mediacodecs as mc
+
+    ind = zlib.compress(b"BT (indirect ten) Tj ET")
+    pdf = (b"%PDF-1.4\n1 0 obj << /Length 12 0 R /Filter /FlateDecode"
+           b" >>\nstream\n" + ind + b"\nendstream\nendobj\n%%EOF")
+    assert mc.pdf_to_text(pdf) == "indirect ten"
+
+    ops = zlib.compress(b"BT (right dict) Tj ET")
+    pdf2 = (b"%PDF-1.4\n1 0 obj << /Length 99 >>\nendobj\n"
+            b"2 0 obj << /Filter /FlateDecode >>\nstream\n" + ops
+            + b"\nendstream\nendobj\n%%EOF")
+    assert mc.pdf_to_text(pdf2) == "right dict"
