@@ -394,3 +394,40 @@ def test_pdf_length_parsing_edges():
             b"2 0 obj << /Filter /FlateDecode >>\nstream\n" + ops
             + b"\nendstream\nendobj\n%%EOF")
     assert mc.pdf_to_text(pdf2) == "right dict"
+
+
+def test_authority_bearing_uri_root(spark, tmp_path, queries_pdf,
+                                    monkeypatch):
+    """An index root like hdfs://host:port/path must serve correctly:
+    the filesystem object carries scheme AND authority, so listings
+    must be fs-relative (naive scheme-stripping kept 'host:port' in
+    the path and silently listed nothing → zero-row answers).
+    Simulated end-to-end: a mock:// URI resolved to a real pyarrow
+    SubTreeFileSystem whose paths exclude the authority."""
+    from pyarrow import fs as pafs
+
+    from embedanything_spark.index import build as bmod
+
+    t = gen_transcripts_df(spark, 50)
+    backing = tmp_path / "backing"
+    local_root = str(backing / "idx")
+    IndexWriter(local_root, block_range=64, num_partitions=2).build(t)
+    q = queries_pdf.head(8)
+    expected = IndexReader(None, local_root).search_local(q)
+    assert len(expected) > 0
+
+    real_index_fs = bmod.index_fs
+
+    def mock_index_fs(r):
+        s = str(r)
+        if s.startswith("mock://nn:8020"):
+            return (pafs.SubTreeFileSystem(str(backing),
+                                           pafs.LocalFileSystem()),
+                    s[len("mock://nn:8020"):])
+        return real_index_fs(r)
+
+    monkeypatch.setattr(bmod, "index_fs", mock_index_fs)
+    remote = IndexReader(None, "mock://nn:8020/idx")
+    got = remote.search_local(q)
+    assert len(got) > 0, "authority-bearing root listed nothing"
+    pd.testing.assert_frame_equal(got, expected)
