@@ -133,40 +133,67 @@ _DEFAULT_DIM = {"dense": 384, "sparse": 0, "multivector": 128,
                 "vision": 512, "cloud": 0}
 
 
+def _which(v: WhichModel | str) -> WhichModel:
+    """Case-insensitive WhichModel coercion with the module's
+    ValueError contract (never a bare KeyError)."""
+    if isinstance(v, WhichModel):
+        return v
+    for m in WhichModel:
+        if m.name.lower() == str(v).lower():
+            return m
+    raise ValueError(f"unknown WhichModel {v!r}; valid: "
+                     f"{[m.name for m in WhichModel]}")
+
+
+def _match_name(model_id: str) -> tuple[WhichModel, int] | None:
+    """First _NAME_PATTERNS hit for a model id; separators are
+    ignored on a second pass so ONNX-registry-style names
+    (AllMiniLML6V2 ↔ all-MiniLM-L6-v2) match too."""
+    low = model_id.lower()
+    flat = "".join(c for c in low if c.isalnum())
+    for pat, pw, pdim in _NAME_PATTERNS:
+        if pat in low or pat.replace("-", "") in flat:
+            return pw, pdim
+    return None
+
+
 def resolve(model_id: str | None = None,
             which: WhichModel | str | None = None,
             config: dict | None = None) -> ModelSpec:
-    """Resolve a ModelSpec the way the reference's factory does:
-    an explicit ``config`` dict's ``architectures[0]`` wins (the
-    config.json sniff), then an explicit ``which``, then model-id
-    substring patterns. Unknown architectures raise with the
-    supported list — the same contract as embedder.rs's fallthrough
-    arm."""
+    """Resolve a ModelSpec the way the reference's factory does.
+    Family precedence: a ``config`` dict's ``architectures[0]`` when
+    present (the config.json sniff; an UNKNOWN architecture raises
+    with the supported list, the same contract as embedder.rs's
+    fallthrough arm — a config merely lacking the key falls
+    through), then an explicit ``which``, then model-id substring
+    patterns. Dim precedence: config ``hidden_size`` (dense family
+    only — for multivector/sparse the backbone width is not the
+    output dim), then the matched name pattern's native dim when its
+    family agrees with the resolved one, then the family default."""
     w: WhichModel | None = None
-    dim = 0
-    if config is not None:
-        archs = config.get("architectures") or []
-        arch = archs[0] if archs else None
+    if config is not None and config.get("architectures"):
+        arch = config["architectures"][0]
         if arch not in _ARCH_TO_WHICH:
             raise ValueError(
                 f"unsupported architecture {arch!r}; supported: "
                 f"{sorted(_ARCH_TO_WHICH)}")
         w = _ARCH_TO_WHICH[arch]
-        dim = int(config.get("hidden_size") or 0)
-    elif which is not None:
-        w = WhichModel[which] if isinstance(which, str) else which
-    if w is None and model_id:
-        low = model_id.lower()
-        for pat, pw, pdim in _NAME_PATTERNS:
-            if pat in low:
-                w, dim = pw, pdim
-                break
+    if w is None and which is not None:
+        w = _which(which)
+    matched = _match_name(model_id) if model_id else None
+    if w is None and matched:
+        w = matched[0]
     if w is None:
         raise ValueError(
             f"cannot resolve a model from id={model_id!r}; pass "
             f"which=WhichModel.<variant> or a config dict with "
             f"'architectures'")
     family = _FAMILY[w]
+    dim = 0
+    if config is not None and family == "dense":
+        dim = int(config.get("hidden_size") or 0)
+    if not dim and matched and _FAMILY[matched[0]] == family:
+        dim = matched[1]
     if not dim:
         dim = _DEFAULT_DIM[family]
     return ModelSpec(which=w, family=family, dim=dim)
@@ -200,15 +227,31 @@ class EmbeddingModel:
         return cls(resolve(model_id, which, config), model_id)
 
     @classmethod
-    def from_pretrained_onnx(cls, model_name: str,
+    def from_pretrained_onnx(cls,
+                             model: WhichModel | str | None = None,
+                             model_name: str | None = None,
+                             hf_model_id: str | None = None,
                              **_ignored) -> "EmbeddingModel":
-        return cls(resolve(model_id=model_name), model_name)
+        """Parity signature (_embed_anything.pyi:737-744): ``model``
+        is the architecture (WhichModel), ``model_name`` an
+        ONNX-registry name, ``hf_model_id`` an explicit hub id; at
+        least one selector must be provided. A plain model-id string
+        in the first position is also accepted."""
+        if isinstance(model, str):
+            try:
+                model = _which(model)
+            except ValueError:
+                model, model_name = None, model
+        mid = str(model_name or hf_model_id or "")
+        if model is None and not mid:
+            raise ValueError("provide model (WhichModel), "
+                             "model_name, or hf_model_id")
+        return cls(resolve(model_id=mid, which=model), mid)
 
     @classmethod
     def from_pretrained_cloud(cls, which: WhichModel | str,
                               model_id: str = "") -> "EmbeddingModel":
-        w = WhichModel[which] if isinstance(which, str) else which
-        return cls(ModelSpec(w, "cloud", 0), model_id)
+        return cls(ModelSpec(_which(which), "cloud", 0), model_id)
 
     # -- kernels ----------------------------------------------------
     def embed_query(self, texts: list[str]):
@@ -220,16 +263,12 @@ class EmbeddingModel:
             return [text_hash_embedding(t, self.spec.dim)
                     for t in texts]
         if f == "sparse":
-            out = []
-            for t in texts:
-                tf: dict[str, int] = {}
-                for tok in tokenize(t):
-                    tf[tok] = tf.get(tok, 0) + 1
-                # query-side tf saturation (k1=1.2): the corpus-side
-                # idf lives in the index dictionary (E2)
-                out.append({k: round(v / (v + 1.2), 6)
-                            for k, v in tf.items()})
-            return out
+            from collections import Counter
+            # query-side tf saturation (k1=1.2): the corpus-side idf
+            # lives in the index dictionary (E2)
+            return [{k: round(v / (v + 1.2), 6)
+                     for k, v in Counter(tokenize(t)).items()}
+                    for t in texts]
         if f == "multivector":
             return [[text_hash_embedding(tok, self.spec.dim)
                      for tok in tokenize(t)] or

@@ -82,3 +82,45 @@ def test_embed_udf_matches_driver_kernel(spark):
         np.testing.assert_allclose(g, w, rtol=1e-6)
     with pytest.raises(ValueError, match="dense family"):
         EmbeddingModel.from_pretrained_hf(WhichModel.ColBert).embed_udf()
+
+
+def test_which_plus_model_id_keeps_native_dim():
+    """The reference's documented call shape — explicit architecture
+    AND a model id — must still pick up the model's native dim from
+    the id patterns (not silently fall to the family default)."""
+    m = EmbeddingModel.from_pretrained_hf(
+        WhichModel.Bert, model_id="BAAI/bge-large-en-v1.5")
+    assert m.spec.dim == 1024
+
+
+def test_partial_config_falls_through():
+    """A config without 'architectures' (hidden_size-only) must fall
+    through to which/model_id, and hidden_size only applies to the
+    dense family (multivector keeps its projection dim)."""
+    s = resolve(which=WhichModel.Bert, config={"hidden_size": 768})
+    assert s.which is WhichModel.Bert and s.dim == 768
+    s2 = resolve(config={"architectures": ["HF_ColBERT"],
+                         "hidden_size": 768})
+    assert s2.family == "multivector" and s2.dim == 128
+
+
+def test_string_which_case_insensitive_valueerror():
+    assert resolve(which="bert").which is WhichModel.Bert
+    with pytest.raises(ValueError, match="unknown WhichModel"):
+        resolve(which="gpt4")
+    with pytest.raises(ValueError, match="unknown WhichModel"):
+        EmbeddingModel.from_pretrained_cloud("not-a-model")
+
+
+def test_onnx_parity_signature():
+    """Reference shape: from_pretrained_onnx(model=WhichModel.Bert,
+    model_name=<ONNX registry name>); enum-style names match the
+    separator-free pass."""
+    m = EmbeddingModel.from_pretrained_onnx(
+        WhichModel.Bert, model_name="BGESmallENV15Q")
+    assert m.spec.dim == 384
+    m2 = EmbeddingModel.from_pretrained_onnx(
+        WhichModel.Bert, hf_model_id="BAAI/bge-base-en-v1.5")
+    assert m2.spec.dim == 768
+    with pytest.raises(ValueError, match="provide model"):
+        EmbeddingModel.from_pretrained_onnx()
