@@ -431,3 +431,25 @@ def test_authority_bearing_uri_root(spark, tmp_path, queries_pdf,
     got = remote.search_local(q)
     assert len(got) > 0, "authority-bearing root listed nothing"
     pd.testing.assert_frame_equal(got, expected)
+
+
+def test_compact_prefix_mass_fallback(spark, tmp_path, queries_pdf,
+                                      monkeypatch):
+    """Above _EXACT_MASS_TERMS distinct terms, compaction's
+    posting-mass boundaries aggregate to an order-preserving term
+    prefix instead of collecting the full vocabulary. Force the
+    fallback (threshold 0) and require bit-identical ranking to the
+    pre-compact index."""
+    from embedanything_spark.index import build as bmod
+
+    t = gen_transcripts_df(spark, 40)
+    root = str(tmp_path / "pref")
+    w = IndexWriter(root, block_range=64, num_partitions=2)
+    w.build(t)
+    q = queries_pdf.head(8)
+    before = IndexReader(None, root).search_local(q)
+
+    monkeypatch.setattr(bmod, "_EXACT_MASS_TERMS", 0)
+    w.compact(spark)
+    after = IndexReader(None, root).search_local(q)
+    pd.testing.assert_frame_equal(after, before)
