@@ -16,6 +16,24 @@ serving read path:
   (``{"query": "...", "k": 10}`` or ``{"queries": [{"query_id",
   "query_text", "k"}, ...]}``). The reference delegates retrieval to
   vector-DB adapters; here the engine itself serves it.
+- ``POST /v1/pdf_embeddings`` — ``{"model", "files": [path,...]}``
+  (``server/src/lib.rs:321-413`` request/validation contract:
+  empty_files / invalid_file_type / file_not_found / invalid_path
+  error codes, ``{"error": {"message", "type", "code"}}`` shape) →
+  per-chunk embedding items carrying ``text`` + ``metadata``
+  (``pdf_embedding_response``, lib.rs:115-141). Decode is the repo's
+  real stdlib PDF kernel (``mediacodecs.pdf_to_text``); chunking is
+  the reference's default character window (chunk_size 1000,
+  overlap_ratio 0.0 — config.rs:64-74).
+- ``POST /v1/pdf_embeddings/upload`` — multipart/form-data with
+  ``model`` and ``files`` fields (lib.rs:412-560), parsed with the
+  stdlib ``email`` package; same response shape.
+- ``POST /v1/image_embeddings`` — ``{"model", "images": [base64 or
+  data-URL,...]}`` (lib.rs:712-760): real PNG decode + 8×8
+  block-luminance embedding; non-PNG formats degrade to the
+  deterministic stub seam exactly like the Spark-side
+  ``multimodal._decode_asset`` (the env-blocked neural kernel's
+  documented stand-in).
 
 Pure stdlib (``http.server`` ThreadingHTTPServer) — and crucially the
 process needs NO Spark/JVM: ``IndexReader(None, root)`` works for
@@ -27,8 +45,13 @@ protocol guarantees they never see a half-written batch).
 
 from __future__ import annotations
 
+import base64
+import binascii
 import hashlib
 import json
+import os
+from email.parser import BytesParser
+from email.policy import default as _EMAIL_POLICY
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -36,6 +59,9 @@ import numpy as np
 from embedanything_spark.analyzer import tokenize
 
 EMBED_DIM = 64
+# Reference chunking defaults for file embedding (config.rs:64-74).
+PDF_CHUNK_SIZE = 1000
+PDF_OVERLAP_RATIO = 0.0
 
 
 def text_hash_embedding(text: str, dim: int = EMBED_DIM) -> list[float]:
@@ -50,6 +76,99 @@ def text_hash_embedding(text: str, dim: int = EMBED_DIM) -> list[float]:
         vec[idx] += 1.0 if h[4] & 1 else -1.0
     n = float(np.linalg.norm(vec))
     return (vec / n if n else vec).tolist()
+
+
+def _error_payload(message: str, err_type: str, code: str) -> dict:
+    """Reference error envelope (lib.rs ErrorResponse/ErrorDetail:
+    ``{"error": {"message", "type", "code"}}`` — ``error_type`` is
+    serde-renamed to ``type``)."""
+    return {"error": {"message": message, "type": err_type,
+                      "code": code}}
+
+
+def _chunk_chars(text: str, size: int = PDF_CHUNK_SIZE,
+                 overlap_ratio: float = PDF_OVERLAP_RATIO) -> list[str]:
+    """Character chunking with overlap — the serving-side twin of the
+    P1 Catalyst plan (``docops.chunk_text``), at the reference's
+    TextEmbedConfig defaults."""
+    step = max(1, int(size * (1.0 - overlap_ratio)))
+    return [text[s:s + size] for s in range(0, max(1, len(text)), step)
+            if text[s:s + size]] or [""]
+
+
+def _pdf_items(named_blobs: list[tuple[str, bytes]]) -> list[dict]:
+    """Decode each PDF with the real stdlib kernel, chunk, and embed —
+    one item per chunk with a running global index, matching
+    ``embed_files_batch`` → ``pdf_embedding_response``
+    (lib.rs:115-141: object/index/embedding/metadata/text)."""
+    from embedanything_spark.mediacodecs import pdf_to_text
+    items: list[dict] = []
+    for name, blob in named_blobs:
+        text = pdf_to_text(blob)
+        for chunk in _chunk_chars(text):
+            items.append({
+                "object": "embedding",
+                "index": len(items),
+                "embedding": text_hash_embedding(chunk),
+                "metadata": {"file_name": name},
+                "text": chunk,
+            })
+    return items
+
+
+def _decode_base64_image(b64: str) -> bytes:
+    """Base64 (optionally ``data:image/...;base64,`` prefixed) →
+    bytes, mirroring ``decode_base64_to_temp_file`` (lib.rs:660-710).
+    Raises ValueError on malformed input."""
+    if b64.startswith("data:"):
+        if "," not in b64:
+            raise ValueError("Invalid data URL format")
+        b64 = b64.split(",", 1)[1]
+    try:
+        return base64.b64decode(b64.strip(), validate=True)
+    except (binascii.Error, ValueError) as e:
+        raise ValueError(f"Failed to decode base64: {e}") from e
+
+
+def _image_items(blobs: list[bytes]) -> list[dict]:
+    """Embed each image: real PNG decode + block-luminance kernel,
+    per-item stub degradation for formats the narrow kernel can't
+    handle (same seam as ``multimodal._decode_asset``). Response items
+    match ImageEmbeddingData (lib.rs:107-113: metadata is a
+    string→string map)."""
+    from embedanything_spark.operators.multimodal import _decode_asset
+    items = []
+    for i, blob in enumerate(blobs):
+        w, h, _, vec, real = _decode_asset(blob)
+        items.append({
+            "object": "embedding",
+            "index": i,
+            "embedding": [float(x) for x in vec],
+            "metadata": {"width": str(w), "height": str(h),
+                         "decoded_for_real": str(real).lower()},
+        })
+    return items
+
+
+def _parse_multipart(content_type: str,
+                     body: bytes) -> list[tuple[str, str | None, str,
+                                                bytes]]:
+    """Parse multipart/form-data with the stdlib ``email`` package:
+    returns (field_name, filename, content_type, payload) per part.
+    Raises ValueError if the body is not multipart."""
+    msg = BytesParser(policy=_EMAIL_POLICY).parsebytes(
+        b"Content-Type: " + content_type.encode("latin-1")
+        + b"\r\nMIME-Version: 1.0\r\n\r\n" + body)
+    if not msg.is_multipart():
+        raise ValueError("request body is not multipart/form-data")
+    out = []
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition",
+                              failobj="")
+        payload = part.get_payload(decode=True) or b""
+        out.append((name, part.get_filename(),
+                    part.get_content_type(), payload))
+    return out
 
 
 def _embeddings_response(model: str, inputs: list[str]) -> dict:
@@ -92,10 +211,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": f"no route {self.path}"})
 
     def do_POST(self):
+        if self.path == "/v1/pdf_embeddings/upload":
+            return self._pdf_upload()
         try:
             req = self._body()
         except json.JSONDecodeError as e:
             return self._send(400, {"error": f"bad json: {e}"})
+        if self.path == "/v1/pdf_embeddings":
+            return self._pdf_embeddings(req)
+        if self.path == "/v1/image_embeddings":
+            return self._image_embeddings(req)
         if self.path == "/v1/embeddings":
             inputs = req.get("input", [])
             if isinstance(inputs, str):
@@ -132,9 +257,107 @@ class _Handler(BaseHTTPRequestHandler):
             except (KeyError, ValueError, TypeError,
                     AttributeError) as e:
                 return self._send(400, {"error": str(e)})
+            except OSError as e:
+                # search_local retries once on a stale handle; if the
+                # retry also fails (reader older than two compaction
+                # cycles) answer a JSON 503, not a dropped connection
+                return self._send(503, {
+                    "error": f"index files unavailable ({e}); "
+                             "the index may have been compacted — "
+                             "retry the request"})
             return self._send(200, {
                 "results": out.to_dict(orient="records")})
         return self._send(404, {"error": f"no route {self.path}"})
+
+    # -- reference file-embedding routes (lib.rs:321-413,412-560,712) --
+
+    def _pdf_embeddings(self, req: dict) -> None:
+        files = req.get("files", [])
+        if not isinstance(files, list) or not files:
+            return self._send(400, _error_payload(
+                "File list cannot be empty", "invalid_request_error",
+                "empty_files"))
+        named: list[tuple[str, bytes]] = []
+        for f in files:
+            if not isinstance(f, str) or \
+                    not f.lower().endswith(".pdf"):
+                return self._send(400, _error_payload(
+                    f"Unsupported file type for '{f}'. Expected a "
+                    "PDF.", "invalid_request_error",
+                    "invalid_file_type"))
+            if not os.path.exists(f):
+                return self._send(400, _error_payload(
+                    f"File '{f}' does not exist",
+                    "invalid_request_error", "file_not_found"))
+            if not os.path.isfile(f):
+                return self._send(400, _error_payload(
+                    f"'{f}' is not a file", "invalid_request_error",
+                    "invalid_path"))
+            with open(f, "rb") as fh:
+                named.append((f, fh.read()))
+        return self._send(200, {
+            "object": "list", "data": _pdf_items(named),
+            "model": req.get("model", "hashing-trick-64")})
+
+    def _pdf_upload(self) -> None:
+        ctype = self.headers.get("Content-Type", "")
+        if "multipart/form-data" not in ctype:
+            return self._send(400, _error_payload(
+                "Expected multipart/form-data",
+                "invalid_request_error", "invalid_multipart"))
+        n = int(self.headers.get("Content-Length", 0))
+        try:
+            parts = _parse_multipart(ctype, self.rfile.read(n))
+        except (ValueError, KeyError) as e:
+            return self._send(400, _error_payload(
+                f"Invalid multipart payload: {e}",
+                "invalid_request_error", "invalid_multipart"))
+        model = "hashing-trick-64"
+        named: list[tuple[str, bytes]] = []
+        for name, filename, part_type, payload in parts:
+            if name == "model":
+                val = payload.decode("utf-8", "strict").strip() \
+                    if payload else ""
+                if val:
+                    model = val
+            elif name == "files":
+                is_pdf = (filename or "").lower().endswith(".pdf") \
+                    or part_type == "application/pdf"
+                if not is_pdf:
+                    return self._send(400, _error_payload(
+                        "Uploaded file must be a PDF",
+                        "invalid_request_error",
+                        "invalid_file_type"))
+                named.append((filename
+                              or f"upload_{len(named)}.pdf", payload))
+            # unknown fields are drained and ignored (lib.rs:552-557)
+        if not named:
+            return self._send(400, _error_payload(
+                "File list cannot be empty", "invalid_request_error",
+                "empty_files"))
+        return self._send(200, {
+            "object": "list", "data": _pdf_items(named),
+            "model": model})
+
+    def _image_embeddings(self, req: dict) -> None:
+        images = req.get("images", [])
+        if not isinstance(images, list) or not images:
+            return self._send(400, _error_payload(
+                "Images cannot be empty", "invalid_request_error",
+                "empty_images"))
+        blobs: list[bytes] = []
+        for i, b64 in enumerate(images):
+            try:
+                if not isinstance(b64, str):
+                    raise ValueError("image must be a base64 string")
+                blobs.append(_decode_base64_image(b64))
+            except ValueError as e:
+                return self._send(400, _error_payload(
+                    f"Failed to decode image at index {i}: {e}",
+                    "invalid_request_error", "base64_decode_failed"))
+        return self._send(200, {
+            "object": "list", "data": _image_items(blobs),
+            "model": req.get("model", "block-luminance-64")})
 
 
 def make_server(index_root: str | None, host: str = "127.0.0.1",

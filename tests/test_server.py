@@ -109,6 +109,137 @@ def test_unknown_route_404(server):
     assert code == 404
 
 
+def test_pdf_embeddings_real_pdf(server, tmp_path):
+    """POST /v1/pdf_embeddings with a real make_pdf file: per-chunk
+    items carry text + metadata + a unit-norm embedding
+    (lib.rs:321-413 + pdf_embedding_response:115-141)."""
+    from embedanything_spark.mediacodecs import make_pdf
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(make_pdf(["alpha bravo charlie", "delta echo"]))
+    code, body = _post(f"{server}/v1/pdf_embeddings",
+                       {"model": "m", "files": [str(p)]})
+    assert code == 200
+    assert body["object"] == "list" and body["model"] == "m"
+    assert [d["index"] for d in body["data"]] == \
+        list(range(len(body["data"])))
+    item = body["data"][0]
+    assert item["object"] == "embedding"
+    assert "alpha bravo charlie" in item["text"]
+    assert item["metadata"]["file_name"] == str(p)
+    vec = np.array(item["embedding"])
+    assert vec.shape == (64,) and abs(np.linalg.norm(vec) - 1) < 1e-9
+    assert item["embedding"] == text_hash_embedding(item["text"])
+
+
+def test_pdf_embeddings_validation_errors(server, tmp_path):
+    """Reference error contract: empty_files / invalid_file_type /
+    file_not_found / invalid_path codes in the
+    {"error": {"message","type","code"}} envelope."""
+    cases = [
+        ({"files": []}, "empty_files"),
+        ({"files": ["/etc/hostname"]}, "invalid_file_type"),
+        ({"files": [str(tmp_path / "nope.pdf")]}, "file_not_found"),
+        ({"files": [str(tmp_path)[:-1] + "/"]}, "invalid_file_type"),
+    ]
+    for payload, want in cases:
+        code, body = _post(f"{server}/v1/pdf_embeddings", payload)
+        assert code == 400, payload
+        assert body["error"]["code"] == want
+        assert body["error"]["type"] == "invalid_request_error"
+    d = tmp_path / "adir.pdf"
+    d.mkdir()
+    code, body = _post(f"{server}/v1/pdf_embeddings",
+                       {"files": [str(d)]})
+    assert code == 400 and body["error"]["code"] == "invalid_path"
+
+
+def test_pdf_embeddings_upload_multipart(server):
+    """POST /v1/pdf_embeddings/upload: multipart model + files parts
+    (lib.rs:412-560) → same chunked-embedding response."""
+    from embedanything_spark.mediacodecs import make_pdf
+    pdf = make_pdf(["upload payload text"])
+    boundary = "x-test-boundary"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="model"\r\n\r\n'
+        "my-model\r\n"
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="files"; '
+        'filename="up.pdf"\r\n'
+        "Content-Type: application/pdf\r\n\r\n"
+    ).encode() + pdf + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        f"{server}/v1/pdf_embeddings/upload", data=body,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        code, out = r.status, json.loads(r.read())
+    assert code == 200 and out["model"] == "my-model"
+    assert "upload payload text" in out["data"][0]["text"]
+    assert out["data"][0]["metadata"]["file_name"] == "up.pdf"
+    # non-PDF upload refused with the reference's code
+    bad = (f"--{boundary}\r\n"
+           'Content-Disposition: form-data; name="files"; '
+           'filename="x.txt"\r\n\r\nhello\r\n'
+           f"--{boundary}--\r\n").encode()
+    req = urllib.request.Request(
+        f"{server}/v1/pdf_embeddings/upload", data=bad,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"},
+        method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["error"]["code"] == \
+            "invalid_file_type"
+
+
+def test_image_embeddings_real_png(server):
+    """POST /v1/image_embeddings with a real PNG (base64 and data-URL
+    forms): real decode path, correct dims in metadata, embedding
+    matches the block-luminance kernel (lib.rs:712-760 shape)."""
+    import base64
+    from embedanything_spark.mediacodecs import encode_png
+    from embedanything_spark.operators.multimodal import (
+        _image_block_embedding)
+    img = (np.arange(24 * 16, dtype=np.uint8).reshape(16, 24) % 251)
+    png = encode_png(img)
+    b64 = base64.b64encode(png).decode()
+    for payload_img in (b64, "data:image/png;base64," + b64):
+        code, body = _post(f"{server}/v1/image_embeddings",
+                           {"model": "clip-ish",
+                            "images": [payload_img]})
+        assert code == 200 and body["object"] == "list"
+        item = body["data"][0]
+        assert item["metadata"] == {"width": "24", "height": "16",
+                                    "decoded_for_real": "true"}
+        want = _image_block_embedding(img)
+        assert np.allclose(item["embedding"], want, atol=1e-6)
+
+
+def test_image_embeddings_errors_and_stub(server):
+    code, body = _post(f"{server}/v1/image_embeddings",
+                       {"images": []})
+    assert code == 400 and body["error"]["code"] == "empty_images"
+    code, body = _post(f"{server}/v1/image_embeddings",
+                       {"images": ["!!!not-base64!!!"]})
+    assert code == 400
+    assert body["error"]["code"] == "base64_decode_failed"
+    assert "index 0" in body["error"]["message"]
+    # valid base64 of a non-PNG blob → deterministic stub fallback,
+    # flagged in metadata (the documented neural-kernel seam)
+    import base64
+    code, body = _post(f"{server}/v1/image_embeddings",
+                       {"images": [base64.b64encode(
+                           b"\xff\xd8\xff jpeg-ish").decode()]})
+    assert code == 200
+    assert body["data"][0]["metadata"]["decoded_for_real"] == "false"
+    assert abs(np.linalg.norm(body["data"][0]["embedding"]) - 1) < 1e-5
+
+
 def test_search_malformed_payloads_400(server):
     """Malformed /v1/search bodies return a JSON 400 — never a
     dropped connection: non-numeric k, and queries rows lacking the
