@@ -531,7 +531,10 @@ def oracle_sql() -> dict[str, str]:
             "AS rrf_micro FROM u GROUP BY doc_id "
             "ORDER BY rrf_micro DESC, doc_id LIMIT 15",
 
-        # live sparse (BM25) × live dense (cosine) retriever fusion
+        # live sparse (BM25) × live dense retriever fusion; the dense
+        # side is the IVF PROBE (nearest centroid → in-cluster cosine
+        # top-50), mirroring similarity.ivf_cluster_scored — the same
+        # centroid arithmetic as the ann_ivf oracle below
         "hybrid_rrf":
             f"{_TF}, "
             "dl AS (SELECT d.doc_id, coalesce(c.cnt,0)::BIGINT AS doclen "
@@ -554,9 +557,18 @@ def oracle_sql() -> dict[str, str]:
             " score_micro DESC, doc_id) AS r FROM sc), "
             "q AS (SELECT embedding AS qv FROM embeddings "
             " WHERE vec_id = 0), "
+            "edims AS (SELECT vec_id, label, "
+            " unnest(embedding)::DOUBLE AS v, "
+            " generate_subscripts(embedding,1) AS dim FROM embeddings), "
+            "cents AS (SELECT label, list(avg_v ORDER BY dim) AS "
+            " centroid FROM (SELECT label, dim, avg(v) AS avg_v "
+            " FROM edims GROUP BY label, dim) GROUP BY label), "
+            "best AS (SELECT label FROM cents, q ORDER BY "
+            " list_cosine_similarity(centroid, qv) DESC, label LIMIT 1), "
             "cosd AS (SELECT vec_id AS doc_id, CAST(ROUND("
             " list_cosine_similarity(embedding, qv)*1e6) AS BIGINT) AS "
-            " cos_micro FROM embeddings, q WHERE vec_id <> 0), "
+            " cos_micro FROM embeddings, q WHERE vec_id <> 0 "
+            " AND label = (SELECT label FROM best)), "
             "r2 AS (SELECT doc_id, row_number() OVER (ORDER BY "
             " cos_micro DESC, doc_id) AS r FROM cosd), "
             "u AS (SELECT * FROM r1 WHERE r <= 50 "

@@ -592,6 +592,7 @@ class IndexWriter:
         (union.write.mode("overwrite").partitionBy("kind")
               .option("parquet.block.size", str(8 * 1024 * 1024))
               .parquet(str(self.root / "data" / sub)))
+        self._ensure_kind_dirs(spark, sub)
 
         # n_docs is already exact from the plan's per-bucket sums —
         # no footer-count job needed
@@ -614,6 +615,25 @@ class IndexWriter:
         if finalize:
             self.finalize(spark)
         return lineage
+
+    def _ensure_kind_dirs(self, spark: SparkSession, sub: str) -> None:
+        """Dynamic ``partitionBy("kind")`` (and an all-empty merge
+        job) only materializes kinds that HAVE rows — a zero-postings
+        batch (e.g. a streaming micro-batch of all-empty turns) would
+        otherwise commit with ``kind=block`` absent or _SUCCESS-only,
+        and every reader resolving this batch through the lineage
+        would fail on the missing path. Backfill any file-less kind
+        with one empty schema-complete parquet file so committed
+        batches are always structurally uniform."""
+        batch_dir = self.root / "data" / sub
+        empty = None
+        for kind in _TABLE_KIND.values():
+            kdir = batch_dir / f"kind={kind}"
+            if not any(kdir.glob("*.parquet")):
+                if empty is None:
+                    empty = spark.createDataFrame(
+                        [], _UNION_SCHEMA).drop("kind")
+                empty.write.mode("overwrite").parquet(str(kdir))
 
     def compact(self, spark: SparkSession) -> dict:
         """Merge ALL committed batch segments into one compacted batch
@@ -791,9 +811,18 @@ class IndexWriter:
         # growing with the vocabulary (a web-scale dictionary would
         # otherwise turn this collect into a driver-OOM cliff).
         parts = self._parts(spark)
-        n_terms = blocks.agg(F.approx_count_distinct("term")
+        # approx_count_distinct's estimator error (rsd) could misroute
+        # a vocabulary just ABOVE the cutoff into the exact branch —
+        # the driver-OOM cliff the prefix fallback exists to avoid. So
+        # estimate tight (2% rsd) and take the exact route only when
+        # the estimate clears the threshold scaled DOWN by ~2.5σ; a
+        # true count near the boundary then lands in the (always-
+        # correct, merely coarser) prefix branch.
+        _rsd = 0.02
+        n_terms = blocks.agg(F.approx_count_distinct("term", rsd=_rsd)
                              .alias("c")).collect()[0]["c"]
-        rkey = (F.col("term") if n_terms <= _EXACT_MASS_TERMS
+        rkey = (F.col("term")
+                if n_terms <= _EXACT_MASS_TERMS * (1.0 - 2.5 * _rsd)
                 else F.substring("term", 1, _MASS_PREFIX_LEN))
         mass = (blocks.groupBy(rkey.alias("rkey"))
                 .agg(F.sum("n").alias("m"))
@@ -804,9 +833,14 @@ class IndexWriter:
                          / total_m * parts,
                          parts - 1).astype(np.int64)
         pkeys = np.array(_partition_keys(spark, parts), dtype=np.int64)
+        # explicit schema: an all-empty-text corpus yields an EMPTY
+        # mass frame, and schema inference on an empty pandas frame
+        # raises — the compact must still commit (empty index is a
+        # valid state a retention cycle can pass through)
         mapping = spark.createDataFrame(
-            pd.DataFrame({"rkey": mass["rkey"],
-                          "pkey": pkeys[pid]}))
+            pd.DataFrame({"rkey": mass["rkey"].astype(object),
+                          "pkey": pkeys[pid]}),
+            schema="rkey string, pkey long")
         (blocks.withColumn("rkey", rkey)
                .join(F.broadcast(mapping), "rkey")
                .repartition(parts, "pkey")
@@ -817,6 +851,7 @@ class IndexWriter:
                .write.mode("overwrite")
                .option("parquet.block.size", str(8 * 1024 * 1024))
                .parquet(str(out_dir / "kind=block")))
+        self._ensure_kind_dirs(spark, sub)
 
         lineage = {
             "batch_id": sub[len("batch-"):],
@@ -1009,6 +1044,14 @@ class CheckpointedIndexBuilder:
     (FIXTURES.md §5). The range plan is computed once and frozen in
     plan.json; resume skips committed batches, deletes orphan dirs from
     a crashed batch, and re-finalizes.
+
+    Input layout contract: ``run`` filters the source to each batch's
+    conv_id range, so the scan benefits from the input being SORTED or
+    PARTITIONED by conv_id (Iceberg sort order / partition transform on
+    conv_id) — the range predicates then prune files/row groups and
+    each batch reads only its slice. On an unsorted table the filters
+    still produce identical output, but every batch rescans the full
+    corpus (n_batches passes over the source).
     """
 
     def __init__(self, writer: IndexWriter, n_batches: int):

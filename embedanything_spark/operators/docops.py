@@ -216,22 +216,21 @@ def hybrid_rrf(spark, sf_dir):
     """J3 — REAL hybrid fusion (hybridsearch.py:64-77): reciprocal-rank
     fusion of the live SPARSE retriever (BM25 over documents; score-
     identical to the IndexReader path — proven by bm25_topk_indexed's
-    shared oracle) and the live DENSE retriever (exact cosine vs the
-    fixed query vector, vec_id ≡ doc_id), top-50 each, RRF k=60.
-    Both rankings use micro-rounded scores so the rank boundary is
+    shared oracle) and the live DENSE retriever — the IVF PROBE
+    (``similarity.ivf_cluster_scored``: materialized-centroid nearest-
+    cluster scan, vec_id ≡ doc_id), the retriever a 100× corpus would
+    actually serve (exact full-corpus cosine stays only as the
+    knn_cosine baseline). Top-50 prefetch each side, RRF k=60. Both
+    rankings use micro-rounded scores so the rank boundary is
     deterministic across engines."""
-    from embedanything_spark.operators.similarity import (
-        QUERY_VEC_ID, _cosine, _dbl, query_vec_df)
+    from embedanything_spark.operators.similarity import \
+        ivf_cluster_scored
     sparse = topk_ranked(_bm25_scores(spark, sf_dir),
                          "score_micro", "doc_id", 50) \
         .select("doc_id", "r")
-    emb = load(spark, sf_dir, "embeddings")
-    e = _dbl(F.col("embedding"))
-    dense_scored = (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-                    .crossJoin(F.broadcast(query_vec_df(spark, sf_dir)))
+    dense_scored = (ivf_cluster_scored(spark, sf_dir)
                     .select(F.col("vec_id").alias("doc_id"),
-                            micro(_cosine(e, F.col("qv")))
-                            .alias("cos_micro")))
+                            "cos_micro"))
     dense = topk_ranked(dense_scored, "cos_micro", "doc_id", 50) \
         .select("doc_id", "r")
     u = sparse.unionByName(dense)

@@ -23,9 +23,12 @@ embeddings.
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
+import zlib as _zlib
 
 import numpy as np
 import pandas as pd
+from pyspark import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from embedanything_spark import mediacodecs as mc
@@ -145,26 +148,40 @@ def _audio_embedding(samples: np.ndarray) -> np.ndarray:
     return (bands / n if n else bands).astype(np.float32)
 
 
-def _decode_asset(content: bytes) -> tuple[int, int, int, np.ndarray, bool]:
+# The ONLY exception classes the stdlib codecs are expected to raise
+# on malformed/unsupported payloads. Anything outside this tuple
+# (MemoryError on a absurd frame buffer, TypeError/AttributeError from
+# a genuine codec bug) PROPAGATES and fails the task — a systemic
+# failure must never masquerade as a routine per-item stub fallback.
+_CODEC_ERRORS = (ValueError, _zlib.error, _struct.error, EOFError,
+                 NotImplementedError)
+
+
+def _decode_asset(
+        content: bytes) -> tuple[int, int, int, np.ndarray, bool, str]:
     """Magic-byte dispatch → (width, height, n_frames, embedding,
-    decoded_for_real). PNG/WAV/Y4M decode for real (``mediacodecs``);
-    anything else — including a variant the narrow real kernels can't
-    handle (palette/16-bit/interlaced PNG, non-PCM WAV, C420 Y4M) —
-    degrades PER-ITEM to the deterministic stub instead of killing the
-    whole Spark stage, matching the reference processors' per-item
-    error contract. Video frame sampling: every Nth frame, cap 10
-    (config.rs:189-191) — skipped frames are never materialized, only
-    byte offsets advance."""
+    decoded_for_real, reason). PNG/WAV/Y4M decode for real
+    (``mediacodecs``); anything else — including a variant the narrow
+    real kernels can't handle (palette/16-bit/interlaced PNG, non-PCM
+    WAV, C420 Y4M) — degrades PER-ITEM to the deterministic stub
+    instead of killing the whole Spark stage, matching the reference
+    processors' per-item error contract. Only ``_CODEC_ERRORS`` take
+    the stub path; systemic failures propagate. ``reason`` is ""
+    for a real decode, else the rejecting exception's class name or
+    "unrecognized_format". Video frame sampling: every Nth frame,
+    cap 10 (config.rs:189-191) — skipped frames are never
+    materialized, only byte offsets advance."""
+    reason = "unrecognized_format"
     try:
         if content.startswith(mc.PNG_SIG):
             img = mc.decode_png(content)
             h, w = img.shape[:2]
-            return w, h, 1, _image_block_embedding(img), True
+            return w, h, 1, _image_block_embedding(img), True, ""
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             rate, samples = mc.decode_wav(content)
             n = len(samples)
             return n, (1 if samples.ndim == 1 else samples.shape[1]), \
-                1, _audio_embedding(samples), True
+                1, _audio_embedding(samples), True, ""
         if content.startswith(mc.Y4M_SIG):
             probe_w, probe_h, total, _ = mc.decode_y4m(
                 content, sample_every=10**9)   # header-only pass
@@ -173,31 +190,52 @@ def _decode_asset(content: bytes) -> tuple[int, int, int, np.ndarray, bool]:
                 content, sample_every=step, max_frames=10)
             emb = _image_block_embedding(
                 frames.astype(np.float64).mean(axis=0))
-            return w, h, len(frames), emb, True
-    except Exception:
-        pass  # unsupported variant → stub fallback below
+            return w, h, len(frames), emb, True, ""
+    except _CODEC_ERRORS as e:
+        reason = type(e).__name__  # unsupported variant → stub below
     w, h, vec = _decode_image_stub(content)
-    return w, h, min(10, max(1, len(content) // 512)), vec, False
+    return w, h, min(10, max(1, len(content) // 512)), vec, False, reason
+
+
+class _ClassCountParam(AccumulatorParam):
+    """Accumulator param summing per-exception-class fallback counts
+    (dict[str, int]) so operators can report WHICH failure classes
+    degraded items, not just how many."""
+
+    def zero(self, value):
+        return dict(value) if value else {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
 
 
 def extract_features(assets: DataFrame,
                      batch_partitions: int | None = None,
-                     fallback_acc=None) -> DataFrame:
+                     fallback_acc=None,
+                     fallback_class_acc=None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow binary batches).
     Real decode for PNG/WAV/Y4M payloads, stub for opaque formats AND
     for items the real kernels reject — per-item degradation, see
     ``_decode_asset``. Stub fallbacks are counted in ``fallback_acc``
     (a Spark accumulator; one is created internally when not given)
-    for observability. Accumulator semantics: updates from
+    and per rejection class in ``fallback_class_acc`` (a dict
+    accumulator keyed by exception class name / "unrecognized_format")
+    so a burst of, say, ``zlib.error`` reads as a codec problem rather
+    than an opaque-format mix. Accumulator semantics: updates from
     transformations are AT-LEAST-ONCE (task retries / plan
-    re-execution re-add), so treat the count as an upper bound on
+    re-execution re-add), so treat the counts as upper bounds on
     degraded items — persist the frame before multi-action plans if
-    the exact count matters."""
+    the exact counts matter."""
     df = assets
     if batch_partitions:
         df = df.repartition(batch_partitions)
+    sc = df.sparkSession.sparkContext
     fallbacks = fallback_acc if fallback_acc is not None else \
-        df.sparkSession.sparkContext.accumulator(0)
+        sc.accumulator(0)
+    by_class = fallback_class_acc if fallback_class_acc is not None \
+        else sc.accumulator({}, _ClassCountParam())
 
     def run(batches):
         for pdf in batches:
@@ -205,9 +243,11 @@ def extract_features(assets: DataFrame,
             for path, mod, content in zip(pdf["path"], pdf["modality"],
                                           pdf["content"]):
                 content = bytes(content)
-                w, h, n_frames, vec, real = _decode_asset(content)
+                w, h, n_frames, vec, real, reason = \
+                    _decode_asset(content)
                 if not real:
                     fallbacks.add(1)
+                    by_class.add({reason: 1})
                 if mod != "video" and not real:
                     n_frames = 1
                 out.append((path, mod, w, h, n_frames, vec.tolist()))

@@ -161,12 +161,17 @@ def near_dup_embeddings(spark, sf_dir) -> DataFrame:
             .orderBy("v1", "v2"))
 
 
-def ann_ivf(spark, sf_dir) -> DataFrame:
-    """IVF probe: nearest centroid from the MATERIALIZED centroid
-    table (tiny scan — the corpus is never re-aggregated per query) →
-    broadcast the winning cluster id → in-cluster exact top-10. Same
-    schema as knn_cosine; zero driver collects in the plan and no
-    posexplode of the embeddings table anywhere in the probe DAG."""
+def ivf_cluster_scored(spark, sf_dir) -> DataFrame:
+    """Shared IVF probe plan: nearest centroid from the MATERIALIZED
+    centroid table (tiny scan — the corpus is never re-aggregated per
+    query) → broadcast the winning cluster id → cosine scores for
+    every in-cluster vector, query vec excluded. ``ann_ivf`` takes its
+    top-10 from here and ``docops.hybrid_rrf`` prefetches its dense
+    top-50 from here — the one dense retriever a 100× corpus would
+    actually serve (the exact full-corpus scan remains ONLY as
+    ``knn_cosine``, the explicit brute-force baseline). Zero driver
+    collects in the plan; no posexplode of the embeddings table
+    anywhere in the probe DAG."""
     emb = load(spark, sf_dir, "embeddings")
     qdf = query_vec_df(spark, sf_dir)
     best = (centroids_table(spark, sf_dir)
@@ -180,6 +185,12 @@ def ann_ivf(spark, sf_dir) -> DataFrame:
             .join(F.broadcast(best), "label")
             .crossJoin(F.broadcast(qdf))
             .select("vec_id",
-                    micro(_cosine(e, F.col("qv"))).alias("cos_micro"))
+                    micro(_cosine(e, F.col("qv"))).alias("cos_micro")))
+
+
+def ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF probe top-10 (same schema as knn_cosine) — see
+    ``ivf_cluster_scored`` for the plan."""
+    return (ivf_cluster_scored(spark, sf_dir)
             .orderBy(F.desc("cos_micro"), F.asc("vec_id"))
             .limit(10))

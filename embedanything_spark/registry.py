@@ -39,7 +39,8 @@ import numpy as np
 import pandas as pd
 
 from embedanything_spark.analyzer import tokenize
-from embedanything_spark.server import text_hash_embedding
+from embedanything_spark.server import (text_hash_embedding,
+                                        text_hash_embeddings_batch)
 
 
 class WhichModel(Enum):
@@ -260,8 +261,8 @@ class EmbeddingModel:
         list[list[list[float]]] (one vector per token)."""
         f = self.spec.family
         if f == "dense":
-            return [text_hash_embedding(t, self.spec.dim)
-                    for t in texts]
+            return text_hash_embeddings_batch(
+                texts, self.spec.dim).tolist()
         if f == "sparse":
             from collections import Counter
             # query-side tf saturation (k1=1.2): the corpus-side idf
@@ -280,7 +281,8 @@ class EmbeddingModel:
             for t in texts:
                 payload = t if isinstance(t, (bytes, bytearray)) \
                     else t.encode()
-                _w, _h, _n, vec, _real = _decode_asset(bytes(payload))
+                _w, _h, _n, vec, _real, _why = \
+                    _decode_asset(bytes(payload))
                 v = np.asarray(vec, dtype=np.float64)
                 if v.size < self.spec.dim:
                     v = np.pad(v, (0, self.spec.dim - v.size))
@@ -307,8 +309,14 @@ class EmbeddingModel:
 
         @F.pandas_udf(ArrayType(FloatType()))
         def _embed(texts: pd.Series) -> pd.Series:
-            return texts.map(
-                lambda t: text_hash_embedding(t or "", dim))
+            # vectorized batch kernel: one md5 per UNIQUE token in the
+            # Arrow batch + np.add.at scatter — no per-row Python in
+            # the accumulate/normalize (bit-identical to the scalar
+            # path; see text_hash_embeddings_batch)
+            from embedanything_spark.server import \
+                text_hash_embeddings_batch
+            mat = text_hash_embeddings_batch(texts.tolist(), dim)
+            return pd.Series(list(mat.astype(np.float32)))
 
         return _embed
 

@@ -64,18 +64,46 @@ PDF_CHUNK_SIZE = 1000
 PDF_OVERLAP_RATIO = 0.0
 
 
+def text_hash_embeddings_batch(texts, dim: int = EMBED_DIM) -> np.ndarray:
+    """VECTORIZED feature-hashing embedding over a batch of texts:
+    md5 is computed ONCE PER UNIQUE TOKEN in the batch (not per
+    occurrence), then every (doc, token) occurrence lands via one
+    ``np.add.at`` scatter-add and rows are L2-normalized in one numpy
+    pass. Bit-identical to the scalar ``text_hash_embedding`` for
+    every row — the accumulated values are small signed integers, so
+    float64 addition is exact and order-independent. This is the
+    Arrow-batch kernel behind ``EmbeddingModel.embed_udf``; at scale
+    the per-batch cost is O(unique tokens) hashing + O(occurrences)
+    numpy, with zero per-row Python in the accumulate/normalize."""
+    docs = [tokenize(t or "") for t in texts]
+    n_docs = len(docs)
+    mat = np.zeros((n_docs, dim), dtype=np.float64)
+    flat = [tok for d in docs for tok in d]
+    if flat:
+        lens = np.fromiter((len(d) for d in docs), np.int64, n_docs)
+        uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                              return_inverse=True)
+        buckets = np.empty(len(uniq), dtype=np.int64)
+        signs = np.empty(len(uniq), dtype=np.float64)
+        for i, tok in enumerate(uniq):
+            h = hashlib.md5(tok.encode()).digest()
+            buckets[i] = int.from_bytes(h[:4], "little") % dim
+            signs[i] = 1.0 if h[4] & 1 else -1.0
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        np.add.at(mat, (doc_idx, buckets[inv]), signs[inv])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return mat / norms[:, None]
+
+
 def text_hash_embedding(text: str, dim: int = EMBED_DIM) -> list[float]:
     """Feature-hashing bag-of-tokens embedding: each token hashes to a
     signed dimension (md5 → bucket + sign), accumulated and
     L2-normalized. Deterministic, vocabulary-free, and a real public
-    technique (the hashing trick) — not a placeholder RNG."""
-    vec = np.zeros(dim, dtype=np.float64)
-    for t in tokenize(text):
-        h = hashlib.md5(t.encode()).digest()
-        idx = int.from_bytes(h[:4], "little") % dim
-        vec[idx] += 1.0 if h[4] & 1 else -1.0
-    n = float(np.linalg.norm(vec))
-    return (vec / n if n else vec).tolist()
+    technique (the hashing trick) — not a placeholder RNG. Scalar
+    convenience wrapper over the batch kernel (single source of
+    arithmetic truth)."""
+    return text_hash_embeddings_batch([text], dim)[0].tolist()
 
 
 def _error_payload(message: str, err_type: str, code: str) -> dict:
@@ -139,7 +167,7 @@ def _image_items(blobs: list[bytes]) -> list[dict]:
     from embedanything_spark.operators.multimodal import _decode_asset
     items = []
     for i, blob in enumerate(blobs):
-        w, h, _, vec, real = _decode_asset(blob)
+        w, h, _, vec, real, _why = _decode_asset(blob)
         items.append({
             "object": "embedding",
             "index": i,

@@ -1,0 +1,148 @@
+"""Round-5 behaviors: vectorized hashing-trick embedding kernel
+(bit-identity with the scalar definition), per-class decode-fallback
+observability with systemic-error propagation, compaction over an
+empty postings table, and the approx-count margin guarding the
+exact-vs-prefix mass-routing boundary."""
+
+import datetime
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from embedanything_spark.analyzer import tokenize
+from embedanything_spark.server import (text_hash_embedding,
+                                        text_hash_embeddings_batch)
+
+
+def _scalar_reference(text: str, dim: int = 64) -> np.ndarray:
+    """Independent re-statement of the hashing-trick definition (the
+    pre-vectorization per-row loop) — guards the batch kernel."""
+    vec = np.zeros(dim, dtype=np.float64)
+    for t in tokenize(text):
+        h = hashlib.md5(t.encode()).digest()
+        idx = int.from_bytes(h[:4], "little") % dim
+        vec[idx] += 1.0 if h[4] & 1 else -1.0
+    n = float(np.linalg.norm(vec))
+    return vec / n if n else vec
+
+
+def test_hash_embedding_batch_bit_identity():
+    texts = ["spark join filter", "", "the the the", "xyzzy",
+             "Ünïcode tökens répétés répétés", "a b c d e f g",
+             "spark " * 50, None]
+    got = text_hash_embeddings_batch(texts)
+    for i, t in enumerate(texts):
+        want = _scalar_reference(t or "")
+        np.testing.assert_array_equal(got[i], want), f"row {i}"
+    # scalar wrapper delegates to the same kernel
+    assert text_hash_embedding("spark join") == \
+        _scalar_reference("spark join").tolist()
+
+
+def test_embed_udf_uses_batch_kernel(spark):
+    from embedanything_spark.registry import EmbeddingModel, WhichModel
+    m = EmbeddingModel.from_pretrained_hf(WhichModel.Bert)
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["spark join filter", "", "tail term"]}))
+    out = (df.withColumn("embedding", m.embed_udf()(F.col("text")))
+           .toPandas())
+    for _, row in out.iterrows():
+        want = np.asarray(_scalar_reference(row["text"], m.spec.dim),
+                          dtype=np.float32)
+        np.testing.assert_allclose(
+            np.asarray(row["embedding"], dtype=np.float32), want,
+            rtol=0, atol=0)
+
+
+def test_decode_fallback_reports_exception_class(spark):
+    """Per-class fallback counts: a corrupt PNG surfaces the rejecting
+    codec error's class; opaque bytes surface unrecognized_format —
+    a burst of codec errors is distinguishable from an opaque mix."""
+    from embedanything_spark import mediacodecs as mc
+    from embedanything_spark.operators.multimodal import (
+        _ClassCountParam, extract_features, synth_assets)
+
+    good = synth_assets(spark, 3, real=True)
+    bad_png = mc.PNG_SIG + b"\x00" * 40
+    opaque = b"\xff\xd8\xff\xe0 not actually decodable jpeg bytes"
+    extra = spark.createDataFrame(
+        [("/assets/image/bad.png", "image", len(bad_png),
+          bytearray(bad_png)),
+         ("/assets/image/opaque.jpg", "image", len(opaque),
+          bytearray(opaque))],
+        schema=good.schema)
+    sc = spark.sparkContext
+    total = sc.accumulator(0)
+    by_class = sc.accumulator({}, _ClassCountParam())
+    feats = extract_features(good.unionByName(extra),
+                             fallback_acc=total,
+                             fallback_class_acc=by_class).toPandas()
+    assert len(feats) == 5
+    assert total.value == 2
+    classes = by_class.value
+    assert classes.get("unrecognized_format") == 1
+    codec_hits = {k: v for k, v in classes.items()
+                  if k != "unrecognized_format"}
+    assert sum(codec_hits.values()) == 1
+    # zlib.error / struct.error both surface as "error"
+    assert set(codec_hits) <= {"ValueError", "error", "EOFError",
+                               "NotImplementedError"}
+
+
+def test_decode_systemic_error_propagates(monkeypatch):
+    """A failure class OUTSIDE the codec contract (a genuine bug, not
+    a malformed payload) must NOT be silently absorbed into the stub
+    fallback path."""
+    from embedanything_spark import mediacodecs as mc
+    from embedanything_spark.operators import multimodal as mm
+
+    def boom(content):
+        raise TypeError("codec bug, not a payload problem")
+
+    monkeypatch.setattr(mm.mc, "decode_png", boom)
+    with pytest.raises(TypeError):
+        mm._decode_asset(mc.PNG_SIG + b"\x00" * 40)
+
+
+def test_compact_empty_postings(spark, tmp_path):
+    """An all-empty-text corpus builds an index with ZERO postings;
+    compact() must still commit (empty mass table — previously a
+    schema-inference crash) and a query must answer empty, not
+    error."""
+    from embedanything_spark.index.build import (
+        CheckpointedIndexBuilder, IndexWriter, committed_lineage)
+    from embedanything_spark.index.query import IndexReader
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [(f"c{i:03d}", 0, "user", "", "", ts) for i in range(6)]
+    t = spark.createDataFrame(
+        rows, schema="conv_id string, turn_idx int, role string, "
+                     "text string, tool string, ts timestamp")
+    root = tmp_path / "empty_ix"
+    w = IndexWriter(str(root), block_range=64, num_partitions=2)
+    CheckpointedIndexBuilder(w, n_batches=2).run(t)
+    lineage = w.compact(spark)
+    assert lineage["batch_id"]
+    assert len(committed_lineage(root)) == 1
+    reader = IndexReader(None, str(root))
+    out = reader.search_local(
+        pd.DataFrame({"query_id": [0], "query_text": ["term00000"],
+                      "k": [5]}))
+    assert len(out) == 0
+
+
+def test_mass_routing_margin():
+    """The exact-vs-prefix routing cutoff is taken from the estimate
+    scaled DOWN by the estimator margin: an estimate in the ambiguous
+    band just under the raw threshold routes to the (always-correct)
+    prefix branch."""
+    from embedanything_spark.index import build as b
+    margin = 1.0 - 2.5 * 0.02
+    assert b._EXACT_MASS_TERMS * margin < b._EXACT_MASS_TERMS
+    # an estimate of exactly the raw threshold must NOT take the
+    # exact branch under the scaled comparison
+    assert not (b._EXACT_MASS_TERMS <= b._EXACT_MASS_TERMS * margin)
