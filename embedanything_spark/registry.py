@@ -271,8 +271,10 @@ class EmbeddingModel:
                      for k, v in Counter(tokenize(t)).items()}
                     for t in texts]
         if f == "multivector":
-            return [[text_hash_embedding(tok, self.spec.dim)
-                     for tok in tokenize(t)] or
+            # one vector per TOKEN: batch the hashing-trick kernel over
+            # each text's token list (md5 once per unique token)
+            return [text_hash_embeddings_batch(
+                        tokenize(t), self.spec.dim).tolist() or
                     [[0.0] * self.spec.dim] for t in texts]
         if f == "vision":
             from embedanything_spark.operators.multimodal import \

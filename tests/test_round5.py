@@ -135,6 +135,31 @@ def test_compact_empty_postings(spark, tmp_path):
     assert len(out) == 0
 
 
+def test_streaming_zero_posting_microbatch(spark, tmp_path):
+    """A streamed micro-batch whose rows ALL have empty text commits a
+    zero-postings segment; subsequent reads through the lineage (and a
+    later real batch + query) must keep working — the structural-
+    uniformity guarantee exercised through the streaming sink."""
+    from embedanything_spark.datagen import gen_transcripts_df
+    from embedanything_spark.index.query import IndexReader
+    from embedanything_spark.streaming.ingest import StreamingIndexIngest
+
+    ingest = StreamingIndexIngest(str(tmp_path / "six"),
+                                  num_partitions=2)
+    ts = datetime.datetime(2026, 1, 1)
+    empty_texts = spark.createDataFrame(
+        [(f"e{i}", 0, "user", "", "", ts) for i in range(4)],
+        schema="conv_id string, turn_idx int, role string, "
+               "text string, tool string, ts timestamp")
+    ingest.process_batch(empty_texts, 0)
+    ingest.process_batch(gen_transcripts_df(spark, 20), 1)
+    reader = IndexReader(None, str(tmp_path / "six"))
+    out = reader.search_local(
+        pd.DataFrame({"query_id": [0], "query_text": ["term00000"],
+                      "k": [5]}))
+    assert len(out) == 5
+
+
 def test_mass_routing_margin():
     """The exact-vs-prefix routing cutoff is taken from the estimate
     scaled DOWN by the estimator margin: an estimate in the ambiguous
