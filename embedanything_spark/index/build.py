@@ -648,27 +648,118 @@ class IndexWriter:
         reducer). docmap rows are concatenated unchanged — doc_ids are
         already globally dense across batch offsets.
 
+        SELECTIVE: the job only rewrites what is actually fragmented.
+        A prior compact batch's files already have unique
+        (term, range_id) keys and the term-span-contiguous serving
+        layout, so
+
+        * a fully-compacted index (single compact batch, no appends)
+          short-circuits to a metadata NO-OP — zero data reads, the
+          existing lineage is returned with ``noop: True``;
+        * with appended delta batches, a compact file is REWRITTEN
+          only when a delta batch carries one of its (term, range_id)
+          keys (one column-pruned key scan + a semi-join against the
+          delta's distinct keys decides); every other compact file
+          passes through by hardlink into the new batch dir (copy
+          fallback for cross-device roots; on an object store this
+          pass-through is an Iceberg-manifest file reference instead).
+          Delta-batch files are always rewritten — that is what gives
+          them the serving layout.
+
+        The dictionary is CARRIED, not rebuilt: compaction preserves
+        df/cf exactly, so finalize only swaps the fold-state to the
+        new batch id (``rename_state``).
+
         Atomicity: the compacted batch is written to a fresh dir;
         lineage.jsonl is then REWRITTEN via os.replace (the atomic
         switch); stale batch dirs are removed last. A crash before the
-        replace leaves the old lineage fully valid."""
+        replace leaves the old lineage fully valid — pass-through
+        hardlinks live in the new dir only, and shared inodes keep old
+        readers' open files valid through retention expiry."""
         import os
         import shutil
+        from urllib.parse import unquote, urlparse
 
         from embedanything_spark.index.codec import varint_decode
 
         t0 = time.time()
         old_lineage = committed_lineage(self.root)
+        if not old_lineage:
+            raise ValueError("nothing to compact: no committed batches")
+        compacted = [ln for ln in old_lineage
+                     if ln["batch_id"].startswith("compact-")]
+        delta = [ln for ln in old_lineage
+                 if not ln["batch_id"].startswith("compact-")]
+        if compacted and not delta:
+            # fully compacted already: keys are unique and the layout
+            # final by construction — still honour the retention
+            # contract (a compact call expires the PREVIOUS cycle)
+            self._expire_retired()
+            return {**old_lineage[-1], "noop": True,
+                    "wall_sec": round(time.time() - t0, 3)}
         sub = f"batch-compact-{uuid.uuid4().hex[:8]}"
         out_dir = self.root / "data" / sub
         n_docs = sum(ln["n_docs"] for ln in old_lineage)
 
-        docmap = spark.read.parquet(*table_paths(self.root, "docmap"))
-        (docmap.write.mode("overwrite")
-               .parquet(str(out_dir / "kind=doc")))
-        parts = spark.read.parquet(*table_paths(self.root, "partitions"))
-        (parts.write.mode("overwrite")
-              .parquet(str(out_dir / "kind=part")))
+        def _kind_dir(ln: dict, kind: str) -> Path:
+            return (self.root / "data" / f"batch-{ln['batch_id']}"
+                    / f"kind={kind}")
+
+        def _local(uri: str) -> str:
+            p = urlparse(uri)
+            return unquote(p.path) if p.scheme else uri
+
+        def _link_in(files: list[Path], dest: Path) -> int:
+            dest.mkdir(parents=True, exist_ok=True)
+            for f in files:
+                tgt = dest / f.name
+                if tgt.exists():  # part-file UUIDs make this ~never
+                    tgt = dest / f"pt-{uuid.uuid4().hex[:8]}-{f.name}"
+                try:
+                    os.link(f, tgt)
+                except OSError:
+                    shutil.copy2(f, tgt)
+            return len(files)
+
+        # ---- selective pre-pass: split compact-batch block files into
+        # pass-through vs rewrite. Cost is one column-pruned key scan
+        # of the compact batch + the delta's distinct keys (small) —
+        # never the payload bytes.
+        pass_blocks: list[Path] = []
+        rewrite_files: list[str] = []
+        delta_block_dirs = [str(_kind_dir(ln, "block")) for ln in delta]
+        if compacted:
+            cdirs = [str(_kind_dir(ln, "block")) for ln in compacted]
+            cmeta = (spark.read.parquet(*cdirs)
+                     .select("term", "range_id",
+                             F.input_file_name().alias("_f")))
+            dkeys = (spark.read.parquet(*delta_block_dirs)
+                     .select("term", "range_id").distinct())
+            dirty = {_local(r["_f"]) for r in
+                     (cmeta.join(dkeys, ["term", "range_id"],
+                                 "left_semi")
+                      .select("_f").distinct().collect())}
+            for ln in compacted:
+                for f in sorted(_kind_dir(ln, "block")
+                                .glob("*.parquet")):
+                    if str(f) in dirty:
+                        rewrite_files.append(str(f))
+                    else:
+                        pass_blocks.append(f)
+
+        # docmap / partition-metric files: a compact batch's are
+        # already consolidated — pass them through; delta batches'
+        # (possibly many tiny streaming micro-batch files) are
+        # rewritten once, here.
+        for table, kind in (("docmap", "doc"), ("partitions", "part")):
+            ddirs = [str(_kind_dir(ln, kind)) for ln in delta]
+            if ddirs:
+                (spark.read.parquet(*ddirs)
+                 .write.mode("overwrite")
+                 .parquet(str(out_dir / f"kind={kind}")))
+            for ln in compacted:
+                _link_in(sorted(_kind_dir(ln, kind).glob("*.parquet")),
+                         out_dir / f"kind={kind}")
 
         def merge_stream(batches):
             """One vectorized pass over a (term, range_id)-sorted
@@ -781,7 +872,7 @@ class IndexWriter:
                                   "doclen": dl})
             return _encode_batch(frame)[_BLOCK_COLS]
 
-        blocks = spark.read.parquet(*table_paths(self.root, "postings"))
+        blocks = spark.read.parquet(*(delta_block_dirs + rewrite_files))
         # ONE exchange routing each CONTIGUOUS term span to its own
         # partition, so every output file owns a term range and file-/
         # row-group-level min/max statistics prune a serving lookup to
@@ -829,6 +920,12 @@ class IndexWriter:
                 .orderBy("rkey").toPandas())
         cumw = mass["m"].to_numpy(np.float64).cumsum()
         total_m = float(cumw[-1]) if len(cumw) else 1.0
+        # size the rewrite fan-out by REWRITTEN mass (selective
+        # compacts often rewrite a small delta — 32 near-empty output
+        # files per cycle would accrete as layers of fragments), but
+        # never below ~4M postings/task (the merge's memory budget and
+        # its unit of parallelism) and never above the core budget
+        parts = int(max(1, min(parts, -(-total_m // 4_000_000))))
         pid = np.minimum((cumw - mass["m"].to_numpy(np.float64) / 2)
                          / total_m * parts,
                          parts - 1).astype(np.int64)
@@ -851,6 +948,7 @@ class IndexWriter:
                .write.mode("overwrite")
                .option("parquet.block.size", str(8 * 1024 * 1024))
                .parquet(str(out_dir / "kind=block")))
+        _link_in(pass_blocks, out_dir / "kind=block")
         self._ensure_kind_dirs(spark, sub)
 
         lineage = {
@@ -862,6 +960,8 @@ class IndexWriter:
                                    1),
             "num_partitions": self._parts(spark),
             "compacted_from": [ln["batch_id"] for ln in old_lineage],
+            "passthrough_files": len(pass_blocks),
+            "rewritten_files": len(rewrite_files),
             "snapshot_id": uuid.uuid4().hex,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                           time.gmtime()),
@@ -887,7 +987,13 @@ class IndexWriter:
         tmp = self.root / "_meta/lineage.jsonl.tmp"
         tmp.write_text(json.dumps(lineage) + "\n")
         os.replace(tmp, self.root / "_meta/lineage.jsonl")  # ← atomic
-        self.finalize(spark)
+        # compaction never changes df/cf — carry the dictionary and
+        # swap only its fold-state to the new single batch id (a crash
+        # before the swap leaves a stale state → finalize's divergence
+        # check self-heals with a full rebuild)
+        self.finalize(spark, rename_state=(
+            {ln["batch_id"] for ln in old_lineage},
+            [lineage["batch_id"]]))
         return lineage
 
     def _expire_retired(self) -> None:
@@ -942,7 +1048,9 @@ class IndexWriter:
             staging.rename(dict_dir)
 
     def finalize(self, spark: SparkSession,
-                 add_batches: list[str] | None = None) -> dict:
+                 add_batches: list[str] | None = None,
+                 rename_state: tuple[set[str], list[str]] | None = None,
+                 ) -> dict:
         """Segment merge → global dictionary + corpus meta. Idempotent
         (including under foreachBatch's at-least-once replay); re-run
         after resume. Reads block METADATA only (parquet column
@@ -956,6 +1064,13 @@ class IndexWriter:
         streaming ingest uses per micro-batch; a full rebuild at 100 TB
         per micro-batch would be the classic scale trap).
 
+        ``rename_state``: (expected_old_ids, new_ids) — compaction's
+        CARRY path. Compaction rewrites file layout but preserves
+        df/cf exactly, so when the dictionary's fold state matches the
+        pre-compact batch set, only the state file is swapped to the
+        new batch id (one small atomic write); the dictionary data is
+        untouched and no rebuild job runs.
+
         Crash safety: the dictionary dir carries its own fold state
         (``_dict_state.json``, swapped in atomically with the data).
         The incremental path runs ONLY when state ∪ add_batches equals
@@ -964,6 +1079,7 @@ class IndexWriter:
         format, diverges and triggers a self-healing FULL rebuild; a
         replayed batch already in state is skipped, so nothing is ever
         folded twice."""
+        import os
         import shutil
         parts = self._parts(spark)
         dict_dir = self.root / "dictionary"
@@ -974,15 +1090,25 @@ class IndexWriter:
         lineage_ids = {ln["batch_id"]
                        for ln in committed_lineage(self.root)}
         state = dict_state(self.root)
-        incremental = (add_batches is not None and state is not None
+        carried = (rename_state is not None and state is not None
+                   and state == set(rename_state[0])
+                   and set(rename_state[1]) == lineage_ids
+                   and (self.root / "_meta/meta.json").exists())
+        if carried:
+            stmp = dict_dir / "_dict_state.json.tmp"
+            stmp.write_text(json.dumps(
+                {"folded": sorted(rename_state[1])}))
+            os.replace(stmp, dict_dir / "_dict_state.json")
+        incremental = (not carried and add_batches is not None
+                       and state is not None
                        and (self.root / "_meta/meta.json").exists())
         pending: list[str] = []
         if incremental:
             pending = [b for b in add_batches if b not in state]
             if state | set(pending) != lineage_ids:
                 incremental = False  # divergence → heal via full rebuild
-        if incremental and not pending:
-            pass  # at-least-once replay of an already-folded batch
+        if carried or (incremental and not pending):
+            pass  # carried dictionary, or an already-folded replay
         else:
             staging = self.root / f"_dict_staging-{uuid.uuid4().hex[:8]}"
             if incremental:

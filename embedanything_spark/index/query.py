@@ -461,13 +461,22 @@ class IndexReader:
         cycle; if this reader's memoized datasets do outlive the
         retention window, the stale file handles surface as OSError —
         caught here, the dataset cache is dropped, and the query is
-        retried once against the now-current lineage (corpus stats are
-        compaction-invariant, so frozen meta stays exact).
+        retried once against the now-current lineage. Corpus stats are
+        compaction-invariant, but a reader that outlived the window
+        may ALSO have missed appended deltas — so the retry re-reads
+        ``_meta/meta.json`` too (skipped for ``asof`` readers, whose
+        stats are pinned to their snapshot by contract).
         """
         try:
             return self._search_local_once(queries, prune, decode_acc)
         except OSError:
             self._pa_datasets = {}
+            if self.asof is None:
+                from embedanything_spark.index.build import \
+                    read_index_text
+                meta_text = read_index_text(self.root, "_meta/meta.json")
+                if meta_text is not None:
+                    self.meta = json.loads(meta_text)
             return self._search_local_once(queries, prune, decode_acc)
 
     def _search_local_once(self, queries: pd.DataFrame,

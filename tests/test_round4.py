@@ -59,21 +59,40 @@ def test_compaction_retention_live_reader(spark, tmp_path):
 
     compact1 = [root / "data" / f"batch-{ln['batch_id']}"
                 for ln in committed_lineage(root)]
-    w.compact(spark)
-    # second compact expires the first round's retired dirs
+    # recompacting an already-compacted index is a metadata NO-OP —
+    # but it still honours retention (expires the previous cycle)
+    noop = w.compact(spark)
+    assert noop.get("noop") is True
     assert not any(d.exists() for d in old_dirs)
     assert all(d.exists() for d in compact1)
-    # the reader's memoized files are gone now — the query must
-    # re-open against the current lineage, not raise
-    pd.testing.assert_frame_equal(reader.search_local(q), base)
 
-    # explicit GC (expire_snapshots analogue)
+    # append a delta, then compact again: SELECTIVE — clean compact
+    # files pass through by hardlink, only fragmented ones rewrite
+    n1 = sum(ln["n_docs"] for ln in committed_lineage(root))
+    extra = gen_transcripts_df(spark, 6, seed=99)
+    w.build(extra, batch_id="ret-delta", doc_id_offset=n1)
+    lin2 = w.compact(spark)
+    assert "noop" not in lin2
+    assert lin2["passthrough_files"] + lin2["rewritten_files"] > 0
+    # compact1 is retired but retained; the live reader's memoized
+    # dictionary was swapped by the delta's finalize, so its next
+    # query re-opens (OSError retry) onto the FULL corpus — with
+    # refreshed corpus stats, matching a brand-new reader exactly
+    assert all(d.exists() for d in compact1)
+    expect = IndexReader(None, str(root)).search_local(q)
+    pd.testing.assert_frame_equal(reader.search_local(q), expect)
+
+    # explicit GC (expire_snapshots analogue): compact1 goes away;
+    # pass-through hardlinks in the live batch keep their inodes
     w.expire_retired()
     assert not any(d.exists() for d in compact1)
     assert not (root / "_meta/retired.json").exists()
     fresh = [root / "data" / f"batch-{ln['batch_id']}"
              for ln in committed_lineage(root)]
     assert all(d.exists() for d in fresh)
+    # the stale reader's memoized files are gone now — its next query
+    # must re-open against the current lineage (full corpus), not raise
+    pd.testing.assert_frame_equal(reader.search_local(q), expect)
 
 
 def test_file_uri_index_root(spark, tmp_path, queries_pdf):

