@@ -48,6 +48,12 @@ def main(argv=None):
                        "segments into one (Lucene-merge analogue)",
                        parents=[common])
     c.add_argument("--index", required=True)
+    c.add_argument("--scope", default="merge",
+                   choices=["merge", "delta", "auto"],
+                   help="merge: fold everything into one layer; "
+                        "delta: tiered — new layer for the appended "
+                        "deltas only; auto: tiered until the layer "
+                        "cap, then merge")
 
     q = sub.add_parser("query", help="BM25 top-k search",
                        parents=[common])
@@ -108,7 +114,8 @@ def main(argv=None):
                 print(json.dumps(w.build(t)))
         elif args.cmd == "compact":
             from embedanything_spark.index.build import IndexWriter
-            print(json.dumps(IndexWriter(args.index).compact(spark)))
+            print(json.dumps(IndexWriter(args.index)
+                  .compact(spark, scope=args.scope)))
         elif args.cmd == "stats":
             from embedanything_spark.index.build import (
                 committed_lineage, partition_lineage)

@@ -78,6 +78,11 @@ from embedanything_spark.operators.doc_ids import zip_with_index
 
 DEFAULT_BLOCK_RANGE = 65536
 DOCS_PER_PARTITION = 10_000  # caps per-worker memory in the fused pass
+# compact(scope="auto")'s tiered-merge policy: delta appends get their
+# own term-range-laid-out layer until this many compact layers exist,
+# then one full merge folds them back (bounds serving read
+# amplification at ~layers files per term — the LSM/Lucene tier cap)
+_MAX_COMPACT_LAYERS = 4
 # avgdl rungs for the per-block impact-bound ladder (see module doc);
 # covers turn-level (~tens of tokens) through whole-document corpora
 # (embed_directory with large chunk_chars can push avgdl past 1024 —
@@ -635,8 +640,8 @@ class IndexWriter:
                         [], _UNION_SCHEMA).drop("kind")
                 empty.write.mode("overwrite").parquet(str(kdir))
 
-    def compact(self, spark: SparkSession) -> dict:
-        """Merge ALL committed batch segments into one compacted batch
+    def compact(self, spark: SparkSession, scope: str = "merge") -> dict:
+        """Merge committed batch segments into compacted batch(es)
         — the Lucene/ES segment-merge analogue for incremental and
         streaming builds (many small committed batches accumulate
         duplicate (term, range_id) block rows; queries stay exact but
@@ -670,6 +675,27 @@ class IndexWriter:
         df/cf exactly, so finalize only swaps the fold-state to the
         new batch id (``rename_state``).
 
+        ``scope`` picks the maintenance tier (the Lucene tiered-merge
+        analogue):
+
+        * ``"merge"`` (default) — one global layer: everything above
+          merges into a single compact batch. Appends whose Zipf-head
+          terms hit each term-span file's TAIL doc range dirty most
+          files, so a merge after a small append can still rewrite
+          O(index).
+        * ``"delta"`` — TIERED: only the delta batches are merged and
+          term-range-laid-out into a NEW compact layer; existing
+          compact layers stay in lineage untouched (zero reads, zero
+          links). The reader already merges duplicate
+          (term, range_id) rows across batches, so layered results
+          are exact; each layer's files stay term-span-contiguous, so
+          a lookup touches ≤ layers extra files. Nightly maintenance
+          cost becomes O(delta), independent of index size.
+        * ``"auto"`` — ``"delta"`` while the index has fewer than
+          ``_MAX_COMPACT_LAYERS`` compact layers, then one ``"merge"``
+          folds the tiers back into a single layer (bounding serving
+          read amplification), exactly like a tiered LSM policy.
+
         Atomicity: the compacted batch is written to a fresh dir;
         lineage.jsonl is then REWRITTEN via os.replace (the atomic
         switch); stale batch dirs are removed last. A crash before the
@@ -697,9 +723,17 @@ class IndexWriter:
             self._expire_retired()
             return {**old_lineage[-1], "noop": True,
                     "wall_sec": round(time.time() - t0, 3)}
+        if scope == "auto":
+            scope = ("delta" if compacted
+                     and len(compacted) < _MAX_COMPACT_LAYERS
+                     else "merge")
+        # with zero existing compact layers the delta IS everything —
+        # the scopes coincide, and "merge" bookkeeping is simpler
+        tiered = scope == "delta" and bool(compacted)
+        replaced = delta if tiered else old_lineage
         sub = f"batch-compact-{uuid.uuid4().hex[:8]}"
         out_dir = self.root / "data" / sub
-        n_docs = sum(ln["n_docs"] for ln in old_lineage)
+        n_docs = sum(ln["n_docs"] for ln in replaced)
 
         def _kind_dir(ln: dict, kind: str) -> Path:
             return (self.root / "data" / f"batch-{ln['batch_id']}"
@@ -728,7 +762,7 @@ class IndexWriter:
         pass_blocks: list[Path] = []
         rewrite_files: list[str] = []
         delta_block_dirs = [str(_kind_dir(ln, "block")) for ln in delta]
-        if compacted:
+        if compacted and not tiered:
             cdirs = [str(_kind_dir(ln, "block")) for ln in compacted]
             cmeta = (spark.read.parquet(*cdirs)
                      .select("term", "range_id",
@@ -757,9 +791,11 @@ class IndexWriter:
                 (spark.read.parquet(*ddirs)
                  .write.mode("overwrite")
                  .parquet(str(out_dir / f"kind={kind}")))
-            for ln in compacted:
-                _link_in(sorted(_kind_dir(ln, kind).glob("*.parquet")),
-                         out_dir / f"kind={kind}")
+            if not tiered:
+                for ln in compacted:
+                    _link_in(
+                        sorted(_kind_dir(ln, kind).glob("*.parquet")),
+                        out_dir / f"kind={kind}")
 
         def merge_stream(batches):
             """One vectorized pass over a (term, range_id)-sorted
@@ -953,15 +989,22 @@ class IndexWriter:
 
         lineage = {
             "batch_id": sub[len("batch-"):],
-            "doc_id_offset": 0,
+            "doc_id_offset": (min(ln["doc_id_offset"]
+                                  for ln in delta) if tiered else 0),
             "n_docs": int(n_docs),
             "wall_sec": round(time.time() - t0, 3),
             "turns_per_sec": round(n_docs / max(time.time() - t0, 1e-9),
                                    1),
             "num_partitions": self._parts(spark),
-            "compacted_from": [ln["batch_id"] for ln in old_lineage],
-            "passthrough_files": len(pass_blocks),
+            "scope": "delta" if tiered else "merge",
+            "compacted_from": [ln["batch_id"] for ln in replaced],
+            # tiered: the kept layers' files pass through BY REFERENCE
+            # (they stay in lineage, unread); merge: by hardlink
+            "passthrough_files": (sum(
+                len(list(_kind_dir(ln, "block").glob("*.parquet")))
+                for ln in compacted) if tiered else len(pass_blocks)),
             "rewritten_files": len(rewrite_files),
+            "kept_layers": len(compacted) if tiered else 0,
             "snapshot_id": uuid.uuid4().hex,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                           time.gmtime()),
@@ -980,20 +1023,24 @@ class IndexWriter:
         # between (2) and (3) harmless (the listed dirs are still
         # committed, so a later expire skips them).
         self._expire_retired()
-        retired = [f"batch-{ln['batch_id']}" for ln in old_lineage]
+        retired = [f"batch-{ln['batch_id']}" for ln in replaced]
         rtmp = self.root / "_meta/retired.json.tmp"
         rtmp.write_text(json.dumps({"dirs": retired}))
         os.replace(rtmp, self.root / "_meta/retired.json")
+        kept_lines = ([json.dumps(ln) for ln in compacted]
+                      if tiered else [])
         tmp = self.root / "_meta/lineage.jsonl.tmp"
-        tmp.write_text(json.dumps(lineage) + "\n")
+        tmp.write_text("\n".join(kept_lines + [json.dumps(lineage)])
+                       + "\n")
         os.replace(tmp, self.root / "_meta/lineage.jsonl")  # ← atomic
         # compaction never changes df/cf — carry the dictionary and
-        # swap only its fold-state to the new single batch id (a crash
+        # swap only its fold-state to the new batch set (a crash
         # before the swap leaves a stale state → finalize's divergence
         # check self-heals with a full rebuild)
         self.finalize(spark, rename_state=(
             {ln["batch_id"] for ln in old_lineage},
-            [lineage["batch_id"]]))
+            [ln["batch_id"] for ln in compacted] + [lineage["batch_id"]]
+            if tiered else [lineage["batch_id"]]))
         return lineage
 
     def _expire_retired(self) -> None:

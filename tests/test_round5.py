@@ -222,3 +222,83 @@ def test_selective_compact_bit_identity(spark, tmp_path):
         == [lin["batch_id"]]
     pd.testing.assert_frame_equal(
         IndexReader(None, str(rootA)).search_local(q), rB)
+
+
+def test_tiered_delta_compact(spark, tmp_path):
+    """compact(scope="delta") — the LSM/Lucene tiered maintenance
+    path: the appended delta gets its OWN term-range-laid-out compact
+    layer; existing compact layers stay in lineage untouched (zero
+    reads — their files pass through by reference). Search results
+    stay bit-identical to a never-compacted index of the same corpus
+    (the reader merges duplicate (term, range_id) rows across
+    batches), and the carried dictionary keeps df/cf exact. scope=
+    "auto" keeps tiering until _MAX_COMPACT_LAYERS, then one merge
+    folds the layers back into a single batch."""
+    from embedanything_spark.datagen import gen_transcripts_df
+    from embedanything_spark.index import build as b
+    from embedanything_spark.index.build import (
+        IndexWriter, committed_lineage)
+    from embedanything_spark.index.query import IndexReader
+
+    t = gen_transcripts_df(spark, 40)
+    q = pd.DataFrame({"query_id": [0, 1],
+                      "query_text": ["term00000", "term00017 term00003"],
+                      "k": [5, 8]})
+
+    rootA = tmp_path / "tierA"
+    wA = IndexWriter(str(rootA), block_range=64, num_partitions=2)
+    wA.build(t, batch_id="base")
+    wA.compact(spark)
+    base_files = sorted(
+        (rootA / "data").glob("batch-compact-*/kind=block/*.parquet"))
+    base_mtimes = {str(f): f.stat().st_mtime_ns for f in base_files}
+    n1 = sum(ln["n_docs"] for ln in committed_lineage(rootA))
+    deltas = [gen_transcripts_df(spark, 6, seed=99),
+              gen_transcripts_df(spark, 5, seed=7)]
+
+    rootB = tmp_path / "tierB"  # never compacted — the oracle
+    wB = IndexWriter(str(rootB), block_range=64, num_partitions=2)
+    wB.build(t, batch_id="base")
+
+    off = n1
+    for i, d in enumerate(deltas):
+        nd = d.count()
+        wA.build(d, batch_id=f"d{i}", doc_id_offset=off)
+        lin = wA.compact(spark, scope="delta")
+        assert lin["scope"] == "delta"
+        assert lin["kept_layers"] == 1 + i
+        assert lin["passthrough_files"] >= len(base_files)
+        wB.build(d, batch_id=f"d{i}", doc_id_offset=off)
+        off += nd
+    # the base layer's files were never rewritten, relinked or touched
+    assert {str(f): f.stat().st_mtime_ns for f in base_files} \
+        == base_mtimes
+    assert len(committed_lineage(rootA)) == 3  # base + 2 delta layers
+
+    expect = IndexReader(None, str(rootB)).search_local(q)
+    pd.testing.assert_frame_equal(
+        IndexReader(None, str(rootA)).search_local(q), expect)
+
+    # auto: under the layer cap → another delta tier; at the cap →
+    # one full merge folds every layer back into a single batch,
+    # results unchanged
+    d2 = gen_transcripts_df(spark, 4, seed=13)
+    nd2 = d2.count()
+    wA.build(d2, batch_id="d2", doc_id_offset=off)
+    wB.build(d2, batch_id="d2", doc_id_offset=off)
+    lin = wA.compact(spark, scope="auto")
+    assert lin["scope"] == "delta" and lin["kept_layers"] == 3
+    d3 = gen_transcripts_df(spark, 3, seed=21)
+    wA.build(d3, batch_id="d3", doc_id_offset=off + nd2)
+    wB.build(d3, batch_id="d3", doc_id_offset=off + nd2)
+    old_cap = b._MAX_COMPACT_LAYERS
+    try:
+        b._MAX_COMPACT_LAYERS = 4  # 4 layers exist → auto merges
+        lin = wA.compact(spark, scope="auto")
+    finally:
+        b._MAX_COMPACT_LAYERS = old_cap
+    assert lin["scope"] == "merge"
+    assert len(committed_lineage(rootA)) == 1
+    expect = IndexReader(None, str(rootB)).search_local(q)
+    pd.testing.assert_frame_equal(
+        IndexReader(None, str(rootA)).search_local(q), expect)
