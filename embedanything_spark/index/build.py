@@ -690,7 +690,10 @@ class IndexWriter:
           (term, range_id) rows across batches, so layered results
           are exact; each layer's files stay term-span-contiguous, so
           a lookup touches ≤ layers extra files. Nightly maintenance
-          cost becomes O(delta), independent of index size.
+          cost becomes O(delta), independent of index size. Bonus:
+          lineage keeps one entry per cycle, so ``asof`` time travel
+          retains per-cycle granularity (a full merge collapses the
+          history to one snapshot).
         * ``"auto"`` — ``"delta"`` while the index has fewer than
           ``_MAX_COMPACT_LAYERS`` compact layers, then one ``"merge"``
           folds the tiers back into a single layer (bounding serving

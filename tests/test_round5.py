@@ -252,6 +252,8 @@ def test_tiered_delta_compact(spark, tmp_path):
     base_files = sorted(
         (rootA / "data").glob("batch-compact-*/kind=block/*.parquet"))
     base_mtimes = {str(f): f.stat().st_mtime_ns for f in base_files}
+    base_id = committed_lineage(rootA)[0]["batch_id"]
+    base_results = IndexReader(None, str(rootA)).search_local(q)
     n1 = sum(ln["n_docs"] for ln in committed_lineage(rootA))
     deltas = [gen_transcripts_df(spark, 6, seed=99),
               gen_transcripts_df(spark, 5, seed=7)]
@@ -278,6 +280,12 @@ def test_tiered_delta_compact(spark, tmp_path):
     expect = IndexReader(None, str(rootB)).search_local(q)
     pd.testing.assert_frame_equal(
         IndexReader(None, str(rootA)).search_local(q), expect)
+    # tiered lineage keeps one entry per maintenance cycle, so asof
+    # time travel retains per-cycle granularity: pinning to the base
+    # layer reproduces the pre-delta corpus exactly
+    pd.testing.assert_frame_equal(
+        IndexReader(spark, str(rootA), asof=base_id).search_local(q),
+        base_results)
 
     # auto: under the layer cap → another delta tier; at the cap →
     # one full merge folds every layer back into a single batch,
