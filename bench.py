@@ -566,7 +566,7 @@ min/max spanning the whole vocabulary (no pruning possible); one
 compact clusters the term space so a lookup touches only the files
 owning its span.
 
-### Maintenance cycle (1% delta append → selective re-compact)
+### Maintenance cycle (1% delta append → tiered re-compact)
 
 | metric | value |
 |---|---|
