@@ -505,7 +505,12 @@ into the ratio.
 {cl['scaling_efficiency_range']}; target ≥ 0.8) — the north-rule pair
 measured on genuine multi-executor topology, not a single-JVM
 stand-in.
-"""
+""" + ("" if not cl.get("recheck") else f"""
+Recheck at {cl['recheck']['measured_at']}
+({cl['recheck']['repeats']} pairs): per-pair
+{cl['recheck']['pair_efficiencies']}, median
+{cl['recheck']['scaling_efficiency']}. {cl['recheck']['note']}
+""")
     pc = results.get("prune_crossover")
     prune_md = ""
     if pc:
