@@ -179,6 +179,48 @@ _UNION_SCHEMA = (
 _ALL_COLS = ["kind"] + _DOC_COLS + _BLOCK_COLS + _PART_COLS
 
 
+def _arrow_union_schema(ts_type):
+    """pyarrow schema mirroring _UNION_SCHEMA (the fused pass emits
+    Arrow batches directly — see _build_partition_factory). ``ts_type``
+    comes from the INPUT batch so the session-timezone annotation
+    round-trips exactly."""
+    import pyarrow as pa
+    return pa.schema([
+        ("kind", pa.string()),
+        ("doc_id", pa.int64()), ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()), ("role", pa.string()),
+        ("ts", ts_type), ("doclen", pa.int32()),
+        ("term", pa.string()), ("range_id", pa.int64()),
+        ("n", pa.int32()), ("min_doc", pa.int64()),
+        ("max_doc", pa.int64()), ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()), ("sum_tf", pa.int64()),
+        ("doc_bytes", pa.binary()), ("tf_bytes", pa.binary()),
+        ("dl_bytes", pa.binary()),
+        ("max_impact", pa.list_(pa.float64())),
+        ("part_id", pa.int32()), ("part_docs", pa.int64()),
+        ("part_postings", pa.int64()), ("part_blocks", pa.int64()),
+        ("part_payload_bytes", pa.int64()),
+        ("part_buckets", pa.int32()), ("part_sec", pa.float64()),
+    ])
+
+
+def _arrow_pad(schema, n: int, cols: dict):
+    """RecordBatch in the union schema with every absent column null —
+    pa.nulls is O(1) per column, unlike the former pandas _pad, which
+    copied a 26-column object frame and paid per-column type inference
+    in the pandas→Arrow conversion on every yielded batch."""
+    import pyarrow as pa
+    arrays = []
+    for f in schema:
+        a = cols.get(f.name)
+        if a is None:
+            a = pa.nulls(n, f.type)
+        elif not isinstance(a, pa.Array):
+            a = pa.array(a, type=f.type)
+        arrays.append(a)
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
 def _pad(pdf: pd.DataFrame, kind: str) -> pd.DataFrame:
     pdf = pdf.copy()
     pdf["kind"] = kind
@@ -268,17 +310,21 @@ def _build_partition_factory(bucket_starts: list[int], block_range: int):
     from embedanything_spark.analyzer import tokenize
 
     def fn(batches):
+        import pyarrow as pa
         from pyspark import TaskContext
         t_start = time.time()
         seen: dict[int, int] = {}  # bucket -> rows consumed so far
         doc_l, dl_l, term_l = [], [], []
-        for pdf in batches:
-            if len(pdf) == 0:
+        schema = None
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            n = len(pdf)
+            if schema is None:
+                schema = _arrow_union_schema(rb.schema.field("ts").type)
             # rows arrive sorted by (_bucket, conv_id, turn_idx):
             # assign per contiguous bucket run
-            bks = pdf["_bucket"].to_numpy(np.int64)
+            bks = rb.column("_bucket").to_numpy().astype(np.int64)
             doc_ids = np.empty(n, dtype=np.int64)
             runs = np.r_[0, np.nonzero(bks[1:] != bks[:-1])[0] + 1, n]
             for ri in range(len(runs) - 1):
@@ -292,21 +338,27 @@ def _build_partition_factory(bucket_starts: list[int], block_range: int):
             # partition replaces a Counter + two small-array
             # constructions per doc (per-doc Python was ~30% of this
             # pass's CPU)
-            toks_list = [tokenize(t) for t in pdf["text"].tolist()]
+            toks_list = [tokenize(t)
+                         for t in rb.column("text").to_pylist()]
             dl_arr = np.fromiter(map(len, toks_list), np.int64, count=n)
             flat = list(chain.from_iterable(toks_list))
             if flat:
                 doc_l.append(np.repeat(doc_ids, dl_arr))
                 dl_l.append(np.repeat(dl_arr, dl_arr))
                 term_l.append(np.array(flat, dtype=object))
-            yield _pad(pd.DataFrame({
-                "doc_id": doc_ids,
-                "conv_id": pdf["conv_id"].to_numpy(),
-                "turn_idx": pdf["turn_idx"].to_numpy(),
-                "role": pdf["role"].to_numpy(),
-                "ts": pdf["ts"].to_numpy(),
-                "doclen": dl_arr.astype(np.int32),
-            }), "doc")
+            # docmap rows ride out as Arrow directly: conv_id/turn_idx/
+            # role/ts are ZERO-COPY slices of the input batch, the
+            # other 19 union columns are O(1) pa.nulls
+            yield _arrow_pad(schema, n, {
+                "kind": pa.array(["doc"]).take(
+                    pa.array(np.zeros(n, np.int32))),
+                "doc_id": pa.array(doc_ids),
+                "conv_id": rb.column("conv_id"),
+                "turn_idx": rb.column("turn_idx"),
+                "role": rb.column("role"),
+                "ts": rb.column("ts"),
+                "doclen": pa.array(dl_arr.astype(np.int32)),
+            })
         if not doc_l:
             return
         doc = np.concatenate(doc_l)
@@ -334,19 +386,43 @@ def _build_partition_factory(bucket_starts: list[int], block_range: int):
              "tf": tf,
              "doclen": dl_s[gstarts]})
         blocks = _encode_batch(sorted_pdf)
-        yield _pad(blocks, "block")
+        nb = len(blocks)
+        yield _arrow_pad(schema, nb, {
+            "kind": pa.array(["block"]).take(
+                pa.array(np.zeros(nb, np.int32))),
+            "term": pa.array(blocks["term"].to_numpy(object),
+                             type=pa.string()),
+            "range_id": pa.array(blocks["range_id"].to_numpy(np.int64)),
+            "n": pa.array(blocks["n"].to_numpy(np.int32)),
+            "min_doc": pa.array(blocks["min_doc"].to_numpy(np.int64)),
+            "max_doc": pa.array(blocks["max_doc"].to_numpy(np.int64)),
+            "max_tf": pa.array(blocks["max_tf"].to_numpy(np.int32)),
+            "min_dl": pa.array(blocks["min_dl"].to_numpy(np.int32)),
+            "sum_tf": pa.array(blocks["sum_tf"].to_numpy(np.int64)),
+            "doc_bytes": pa.array(blocks["doc_bytes"].tolist(),
+                                  type=pa.binary()),
+            "tf_bytes": pa.array(blocks["tf_bytes"].tolist(),
+                                 type=pa.binary()),
+            "dl_bytes": pa.array(blocks["dl_bytes"].tolist(),
+                                 type=pa.binary()),
+            "max_impact": pa.array(blocks["max_impact"].tolist(),
+                                   type=pa.list_(pa.float64())),
+        })
         ctx = TaskContext.get()
         payload = int(sum(blocks[c].map(len).sum()
                           for c in ("doc_bytes", "tf_bytes", "dl_bytes")))
-        yield _pad(pd.DataFrame({
-            "part_id": [np.int32(ctx.partitionId() if ctx else -1)],
-            "part_docs": [np.int64(sum(seen.values()))],
-            "part_postings": [np.int64(len(gstarts))],
-            "part_blocks": [np.int64(len(blocks))],
-            "part_payload_bytes": [np.int64(payload)],
-            "part_buckets": [np.int32(len(seen))],
-            "part_sec": [time.time() - t_start],
-        }), "part")
+        yield _arrow_pad(schema, 1, {
+            "kind": pa.array(["part"]),
+            "part_id": pa.array(
+                [ctx.partitionId() if ctx else -1], pa.int32()),
+            "part_docs": pa.array([sum(seen.values())], pa.int64()),
+            "part_postings": pa.array([len(gstarts)], pa.int64()),
+            "part_blocks": pa.array([nb], pa.int64()),
+            "part_payload_bytes": pa.array([payload], pa.int64()),
+            "part_buckets": pa.array([len(seen)], pa.int32()),
+            "part_sec": pa.array([time.time() - t_start],
+                                 pa.float64()),
+        })
 
     return fn
 
@@ -563,6 +639,14 @@ class IndexWriter:
     def build(self, transcripts: DataFrame, batch_id: str = "full",
               doc_id_offset: int = 0, finalize: bool = True) -> dict:
         """Build the index (or one committed batch of it)."""
+        if batch_id.startswith("compact-"):
+            # reserved: compact() classifies lineage entries as already-
+            # laid-out compacted layers by this prefix; a raw batch
+            # committed under it would be skipped by rewrites and could
+            # trigger the noop short-circuit on a fragmented index
+            raise ValueError(
+                "batch_id prefix 'compact-' is reserved for "
+                "IndexWriter.compact() output")
         spark = transcripts.sparkSession
         t0 = time.time()
         bounds, starts, n_batch_docs = self._bucket_plan(
@@ -594,7 +678,7 @@ class IndexWriter:
         # carries doclen too (doc_stats is a column-pruned read of the
         # same table); each kind's unused columns are all-null and
         # vanish under parquet RLE.
-        union = parent.mapInPandas(
+        union = parent.mapInArrow(
             _build_partition_factory(starts, self.block_range),
             schema=_UNION_SCHEMA)
         sub = f"batch-{batch_id}"
@@ -784,14 +868,24 @@ class IndexWriter:
                              F.input_file_name().alias("_f")))
             dkeys = (spark.read.parquet(*delta_block_dirs)
                      .select("term", "range_id").distinct())
-            dirty = {_local(r["_f"]) for r in
+            # match on the (batch-dir name, file basename) pair —
+            # unique by construction — NOT on full path strings:
+            # input_file_name() URIs are absolute while a relative
+            # index root (CLI --index myidx) keeps self.root relative,
+            # so a string compare silently classified every file as
+            # pass-through and the merge never consolidated.
+            def _file_key(p) -> tuple[str, str]:
+                p = Path(p)
+                return (p.parent.parent.name, p.name)
+
+            dirty = {_file_key(_local(r["_f"])) for r in
                      (cmeta.join(dkeys, ["term", "range_id"],
                                  "left_semi")
                       .select("_f").distinct().collect())}
             for ln in compacted:
                 for f in sorted(_kind_dir(ln, "block")
                                 .glob("*.parquet")):
-                    if str(f) in dirty:
+                    if _file_key(f) in dirty:
                         rewrite_files.append(str(f))
                     else:
                         pass_blocks.append(f)

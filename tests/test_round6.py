@@ -70,3 +70,56 @@ def test_systemic_memoryerror_still_propagates(monkeypatch):
     monkeypatch.setattr(mm.mc, "decode_png", boom)
     with pytest.raises(MemoryError):
         mm._decode_asset(mc.PNG_SIG + b"\x00" * 40)
+
+
+def test_selective_compact_relative_root(spark):
+    """ADVICE (medium): with a RELATIVE index root (CLI --index myidx)
+    the dirty-file detection used to compare unresolved relative paths
+    against input_file_name()'s absolute URIs — nothing matched, every
+    compact file silently passed through and lineage reported
+    rewritten_files=0 forever. The (batch-dir, basename) key match
+    must classify delta-touched files as rewrites regardless of how
+    the root was spelled. The root is relative to the PROCESS cwd so
+    the Python side and the JVM side resolve it identically, exactly
+    as a CLI invocation does."""
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    from embedanything_spark.datagen import gen_transcripts_df
+    from embedanything_spark.index.build import (IndexWriter,
+                                                 committed_lineage)
+    from embedanything_spark.index.query import IndexReader
+
+    t = gen_transcripts_df(spark, 40)
+    # same corpus slice appended again: every delta key collides with
+    # a compact-layer key, so a correct classifier MUST rewrite files
+    extra = gen_transcripts_df(spark, 30)
+    root = f"relidx-{uuid.uuid4().hex[:8]}"
+    try:
+        w = IndexWriter(root, block_range=64, num_partitions=2)
+        w.build(t)
+        w.compact(spark)
+        n1 = sum(ln["n_docs"] for ln in committed_lineage(root))
+        w.build(extra, batch_id="delta", doc_id_offset=n1)
+        lin = w.compact(spark)
+        assert lin["scope"] == "merge"
+        assert lin["rewritten_files"] > 0
+        # and the merged index still answers (sanity)
+        q = pd.DataFrame({"query_id": [0], "query_text": ["term00000"],
+                          "k": [5]})
+        assert len(IndexReader(None, root).search_local(q)) > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compact_prefix_reserved(spark, tmp_path):
+    """ADVICE (low): a user batch_id must not be able to masquerade as
+    an already-laid-out compact layer."""
+    from embedanything_spark.datagen import gen_transcripts_df
+    from embedanything_spark.index.build import IndexWriter
+
+    w = IndexWriter(str(tmp_path / "idx"), num_partitions=2)
+    with pytest.raises(ValueError, match="reserved"):
+        w.build(gen_transcripts_df(spark, 3), batch_id="compact-evil")
