@@ -230,6 +230,163 @@ def _pad(pdf: pd.DataFrame, kind: str) -> pd.DataFrame:
     return pdf[_ALL_COLS]
 
 
+def _binary_np(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, data) numpy views of a pyarrow BinaryArray: offsets
+    rebased to 0, data trimmed to the array's span. An Arrow binary
+    column IS the concatenation of its rows (one contiguous data
+    buffer + an offsets array), so per-row b''.join is never needed
+    (guide §4.2)."""
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0]:offs[-1]]
+    return offs - offs[0], data
+
+
+def _block_schema_arrow():
+    import pyarrow as pa
+    return pa.schema([
+        ("term", pa.string()), ("range_id", pa.int64()),
+        ("n", pa.int32()), ("min_doc", pa.int64()),
+        ("max_doc", pa.int64()), ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()), ("sum_tf", pa.int64()),
+        ("doc_bytes", pa.binary()), ("tf_bytes", pa.binary()),
+        ("dl_bytes", pa.binary()),
+        ("max_impact", pa.list_(pa.float64())),
+    ])
+
+
+def _splice_merge_table(tbl):
+    """SPLICE-merge a (term, range_id, min_doc)-sorted single-chunk
+    Arrow table of block rows WITHOUT decoding a single posting.
+
+    Fragments of one (term, range_id) group cover disjoint, ascending
+    doc intervals (build buckets partition the doc space; batch
+    offsets partition it across appends), and every fragment's first
+    doc delta is the rebased 0 — one 0x00 byte. The merged block's
+    payload is therefore pure byte splicing:
+
+      doc_bytes = frag1 ++ varint(min_doc_2 − max_doc_1) ++ frag2[1:]
+                  ++ varint(min_doc_3 − max_doc_2) ++ frag3[1:] ...
+      tf_bytes / dl_bytes = plain concatenation (raw varints)
+
+    and the block stats aggregate from fragment metadata (max of
+    max_tf, min of min_dl, Σn, Σsum_tf, first min_doc, last max_doc,
+    elementwise max of the avgdl-ladder impact maxima — each
+    fragment's ladder already bounds its own postings). The bytes are
+    IDENTICAL to decode+re-encode output (canonical LEB128, same
+    deltas), at O(payload bytes) memcpy instead of O(postings) decode
+    + sort + encode — the difference between a 6-minute and a
+    sub-minute 20M-turn full compact.
+
+    Returns (record_batch_or_None, leftover_table_or_None): groups
+    whose fragments are NOT strictly interval-ordered (foreign/
+    overlapping appends) or carry unexpected payload shape are routed
+    to the leftover table for the decode-merge fallback."""
+    import pyarrow as pa
+    n_rows = tbl.num_rows
+    if n_rows == 0:
+        return None, None
+    term = tbl.column("term").chunk(0)
+    codes = term.dictionary_encode().indices.to_numpy()
+    rid = tbl.column("range_id").chunk(0).to_numpy()
+    min_doc = tbl.column("min_doc").chunk(0).to_numpy()
+    max_doc = tbl.column("max_doc").chunk(0).to_numpy()
+    nrow = tbl.column("n").chunk(0).to_numpy().astype(np.int64)
+    max_tf = tbl.column("max_tf").chunk(0).to_numpy()
+    min_dl = tbl.column("min_dl").chunk(0).to_numpy()
+    sum_tf = tbl.column("sum_tf").chunk(0).to_numpy()
+    d_off, d_data = _binary_np(tbl.column("doc_bytes").chunk(0))
+    t_off, t_data = _binary_np(tbl.column("tf_bytes").chunk(0))
+    l_off, l_data = _binary_np(tbl.column("dl_bytes").chunk(0))
+    mi = tbl.column("max_impact").chunk(0)
+    ng = np.r_[True, (codes[1:] != codes[:-1]) | (rid[1:] != rid[:-1])]
+    gid = np.cumsum(ng) - 1
+    nonfirst = ~ng
+    prev_max = np.r_[np.int64(0), max_doc[:-1]]
+    # a group falls back to decode-merge when any non-first fragment
+    # overlaps its predecessor's doc interval, doesn't start with the
+    # rebased 0x00 delta, or the ladder shape is irregular
+    viol = nonfirst & ((min_doc <= prev_max)
+                       | (d_data[d_off[:-1]] != 0))
+    if mi.null_count:
+        viol |= mi.is_null().to_numpy(zero_copy_only=False)
+    lens = mi.value_lengths().to_numpy(zero_copy_only=False)
+    lens = np.where(np.isnan(lens.astype(np.float64)), -1,
+                    lens).astype(np.int64) if mi.null_count \
+        else lens.astype(np.int64)
+    L = int(lens[0]) if n_rows else 0
+    viol |= lens != L
+    gstarts = np.nonzero(ng)[0]
+    gbad = np.maximum.reduceat(viol.astype(np.int8), gstarts) > 0
+    if gbad.any():
+        bad_rows = gbad[gid]
+        bad_tbl = tbl.filter(pa.array(bad_rows)).combine_chunks()
+        good_tbl = tbl.filter(pa.array(~bad_rows)).combine_chunks()
+        out, rest = _splice_merge_table(good_tbl)
+        assert rest is None  # good groups cannot re-violate
+        return out, bad_tbl
+    gends = np.r_[gstarts[1:], n_rows]
+    G = len(gstarts)
+    # ---- doc stream: drop each non-first fragment's leading 0x00,
+    # insert the metadata-derived joint delta (both fully vectorized)
+    keep = np.ones(len(d_data), dtype=bool)
+    nf_idx = np.nonzero(nonfirst)[0]
+    keep[d_off[:-1][nf_idx]] = False
+    data2 = d_data[keep]
+    deltas = (min_doc[nf_idx] - prev_max[nf_idx]).astype(np.uint64)
+    patch_buf, patch_ends = varint_encode_offsets(deltas)
+    patch_lens = np.diff(np.r_[np.int64(0), patch_ends])
+    kept_csum = np.cumsum(keep)
+    pos = kept_csum[d_off[:-1][nf_idx]]  # kept bytes strictly before
+    doc_stream = np.insert(data2, np.repeat(pos, patch_lens),
+                           patch_buf)
+    dsz = (d_off[1:] - d_off[:-1]).astype(np.int64)
+    dsz[nf_idx] += patch_lens - 1
+    doc_goffs = np.r_[np.int64(0), np.cumsum(
+        np.add.reduceat(dsz, gstarts))]
+    # ---- tf/dl streams: rows are adjacent in the buffer, so a group
+    # IS the byte span [off[gs], off[ge]] — zero processing
+    tf_goffs = t_off[np.r_[gstarts, n_rows]]
+    dl_goffs = l_off[np.r_[gstarts, n_rows]]
+    # ---- ladder: elementwise max across fragments
+    flat = mi.flatten().to_numpy(zero_copy_only=False)
+    ladder = np.maximum.reduceat(
+        flat.reshape(n_rows, L), gstarts) if L else \
+        np.empty((G, 0), np.float64)
+
+    def _bin(offs: np.ndarray, data: np.ndarray):
+        if len(data) > 2**31 - 8:  # pragma: no cover — int32 guard
+            mv = memoryview(data.tobytes())
+            return pa.array([bytes(mv[a:b]) for a, b in
+                             zip(offs[:-1], offs[1:])],
+                            type=pa.binary())
+        return pa.Array.from_buffers(
+            pa.binary(), G,
+            [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+             pa.py_buffer(np.ascontiguousarray(data).tobytes())])
+
+    arrays = [
+        term.take(pa.array(gstarts.astype(np.int64))),
+        pa.array(rid[gstarts].astype(np.int64)),
+        pa.array(np.add.reduceat(nrow, gstarts).astype(np.int32)),
+        pa.array(min_doc[gstarts].astype(np.int64)),
+        pa.array(max_doc[gends - 1].astype(np.int64)),
+        pa.array(np.maximum.reduceat(max_tf, gstarts)
+                 .astype(np.int32)),
+        pa.array(np.minimum.reduceat(min_dl, gstarts)
+                 .astype(np.int32)),
+        pa.array(np.add.reduceat(sum_tf.astype(np.int64), gstarts)),
+        _bin(doc_goffs, doc_stream),
+        _bin(tf_goffs, t_data),
+        _bin(dl_goffs, l_data),
+        pa.ListArray.from_arrays(
+            pa.array((np.arange(G + 1) * L).astype(np.int32)),
+            pa.array(ladder.reshape(-1), type=pa.float64())),
+    ]
+    return pa.RecordBatch.from_arrays(
+        arrays, schema=_block_schema_arrow()), None
+
+
 def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized block encode of a sorted (term, range_id, doc_id)
     frame: group boundaries by change-points, aggregates via reduceat,
@@ -907,76 +1064,81 @@ class IndexWriter:
                         out_dir / f"kind={kind}")
 
         def merge_stream(batches):
-            """One vectorized pass over a (term, range_id)-sorted
-            partition: singleton keys pass through UNDECODED; only
-            duplicated keys decode+merge. A carry buffer handles
-            groups straddling Arrow batch boundaries (per-group
-            applyInPandas costs a Python call per tiny group — ~30k
-            calls on even a small index)."""
+            """One Arrow-native pass over a (term, range_id)-sorted
+            partition: every well-formed group is SPLICE-merged
+            (``_splice_merge_table`` — pure byte splicing from
+            metadata, no posting ever decoded); ill-ordered groups
+            drop to the decode+re-encode fallback (``_emit``), byte-
+            identical output either way. A carry buffer handles groups
+            straddling Arrow batch boundaries. Payload bytes never
+            convert to pandas — the former Arrow→pandas→Arrow round
+            trip of the whole posting payload was ~40% of compact's
+            wall time."""
+            import pyarrow as pa
             carry = None
-            for pdf in batches:
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                tbl = pa.Table.from_batches([rb])
                 if carry is not None:
-                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    tbl = pa.concat_tables([carry, tbl])
                     carry = None
-                if len(pdf) == 0:
+                tbl = tbl.combine_chunks()
+                codes = (tbl.column("term").chunk(0)
+                         .dictionary_encode().indices.to_numpy())
+                rid = tbl.column("range_id").chunk(0).to_numpy()
+                ng = np.r_[True, (codes[1:] != codes[:-1])
+                           | (rid[1:] != rid[:-1])]
+                last_start = int(np.nonzero(ng)[0][-1])
+                if last_start == 0:
+                    carry = tbl  # whole table is one group — keep
                     continue
-                key = (pdf["term"].astype(str) + "\x00" +
-                       pdf["range_id"].astype(str)).to_numpy()
-                tail = int((key[::-1] != key[-1]).argmax())
-                if tail == 0 and key[0] == key[-1]:
-                    carry = pdf  # whole batch is one group — keep
-                    continue
-                carry = pdf.iloc[len(pdf) - tail:]
-                head = pdf.iloc[:len(pdf) - tail]
-                yield from _emit(head)
-            if carry is not None and len(carry):
-                yield from _emit(carry)
+                carry = tbl.slice(last_start)
+                yield from _emit_table(
+                    tbl.slice(0, last_start).combine_chunks())
+            if carry is not None and carry.num_rows:
+                yield from _emit_table(carry.combine_chunks())
+
+        def _emit_table(tbl):
+            """Splice-merge the table; route leftover (ill-ordered)
+            groups through the decode fallback in posting-budget
+            chunks."""
+            out, bad = _splice_merge_table(tbl)
+            if out is not None:
+                yield out
+            if bad is None or bad.num_rows == 0:
+                return
+            yield from _emit(bad.to_pandas())
 
         def _emit(pdf: pd.DataFrame):
-            """Singleton keys pass through UNDECODED; duplicated keys
-            merge via ONE vectorized decode + re-encode over the whole
-            batch. Per-group Python calls (_merge_group) are the scale
-            trap the sf1 bench exposed: a 20M-turn build leaves ~6
-            bucket-fragments per (term, range) — ~13M groups — and at
-            ~ms per Python-level group merge compact runs for hours.
-            Vectorized: varints are self-delimiting, so the batch's
-            payloads decode in ONE pass over the concatenated bytes;
-            doc deltas rebase via a segmented cumsum; postings lexsort
-            by (group, doc); ``_encode_batch`` (the build's own
-            vectorized encoder) re-blocks everything at once."""
+            """Decode-merge FALLBACK for groups whose fragments are
+            not strictly interval-ordered (foreign appends with
+            overlapping doc ranges): ONE vectorized varint decode per
+            payload column over the concatenated bytes, a segmented
+            cumsum to rebase doc deltas, a lexsort, and ONE
+            ``_encode_batch`` re-encode — chunked by posting budget so
+            Zipf-head rows (~10^4 postings each) cannot materialize
+            unbounded temps."""
+            import pyarrow as pa
             key = (pdf["term"].astype(str) + "\x00" +
                    pdf["range_id"].astype(str)).to_numpy()
-            starts = np.nonzero(np.r_[True, key[1:] != key[:-1]])[0]
-            ends = np.r_[starts[1:], len(pdf)]
-            sizes = ends - starts
-            single_mask = np.zeros(len(pdf), dtype=bool)
-            single_mask[starts[sizes == 1]] = True
-            singles = pdf[single_mask]
-            if len(singles):
-                yield singles[_BLOCK_COLS]
-            if single_mask.all():
-                return
-            multi = pdf[~single_mask]
-            mkey = key[~single_mask]
-            cnt_all = multi["n"].to_numpy(np.int64)  # postings per row
-            # chunk by POSTING budget, not row count: Zipf-head block
-            # rows carry ~10^4 postings each, so an unbounded batch
-            # of head rows would materialize ~10^8-element temps.
-            # Chunk boundaries must not split a (term, range) group —
-            # snap each cut forward to the next group boundary.
+            cnt_all = pdf["n"].to_numpy(np.int64)  # postings per row
             budget = 4_000_000
             cum = cnt_all.cumsum()
             cuts = [0]
-            while cuts[-1] < len(multi):
+            while cuts[-1] < len(pdf):
                 nxt = int(np.searchsorted(
                     cum, (cum[cuts[-1] - 1] if cuts[-1] else 0)
                     + budget)) + 1
-                nxt = min(nxt, len(multi))
-                while nxt < len(multi) and mkey[nxt] == mkey[nxt - 1]:
+                nxt = min(nxt, len(pdf))
+                while nxt < len(pdf) and key[nxt] == key[nxt - 1]:
                     nxt += 1
                 cuts.append(nxt)
             for a, b in zip(cuts[:-1], cuts[1:]):
-                yield _merge_rows(multi.iloc[a:b])
+                yield pa.RecordBatch.from_pandas(
+                    _merge_rows(pdf.iloc[a:b]),
+                    schema=_block_schema_arrow(),
+                    preserve_index=False)
 
         def _merge_rows(multi: pd.DataFrame) -> pd.DataFrame:
             """Vectorized fragment merge of a (term, range_id,
@@ -1017,7 +1179,13 @@ class IndexWriter:
                                   "doclen": dl})
             return _encode_batch(frame)[_BLOCK_COLS]
 
-        blocks = spark.read.parquet(*(delta_block_dirs + rewrite_files))
+        # project to block columns IMMEDIATELY: the batch dirs hold the
+        # kind-partitioned union table, and an opaque python map defeats
+        # column pruning — without the select the exchange would drag
+        # all 26 union columns (22 of them null) through the shuffle
+        blocks = (spark.read
+                  .parquet(*(delta_block_dirs + rewrite_files))
+                  .select(*_BLOCK_COLS))
         # ONE exchange routing each CONTIGUOUS term span to its own
         # partition, so every output file owns a term range and file-/
         # row-group-level min/max statistics prune a serving lookup to
@@ -1088,8 +1256,8 @@ class IndexWriter:
                .repartition(parts, "pkey")
                .sortWithinPartitions("term", "range_id", "min_doc")
                .drop("pkey", "rkey")
-               .mapInPandas(merge_stream,
-                            schema=blocks.select(*_BLOCK_COLS).schema)
+               .mapInArrow(merge_stream,
+                           schema=blocks.select(*_BLOCK_COLS).schema)
                .write.mode("overwrite")
                .option("parquet.block.size", str(8 * 1024 * 1024))
                .parquet(str(out_dir / "kind=block")))

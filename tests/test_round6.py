@@ -123,3 +123,71 @@ def test_compact_prefix_reserved(spark, tmp_path):
     w = IndexWriter(str(tmp_path / "idx"), num_partitions=2)
     with pytest.raises(ValueError, match="reserved"):
         w.build(gen_transcripts_df(spark, 3), batch_id="compact-evil")
+
+
+def test_splice_merge_byte_identical_to_decode_merge(spark, tmp_path):
+    """The compact splice-merge (pure byte splicing from fragment
+    metadata) must produce EXACTLY the bytes the decode+re-encode path
+    produces — canonical LEB128 and identical deltas make them equal
+    by construction; this pins it."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from embedanything_spark.datagen import gen_transcripts_df
+    from embedanything_spark.index.build import (
+        CheckpointedIndexBuilder, IndexWriter, _splice_merge_table,
+        table_paths)
+
+    root = tmp_path / "idx"
+    w = IndexWriter(str(root), block_range=64, num_partitions=2)
+    # 4 batches → ≥4 fragments per hot (term, range_id)
+    CheckpointedIndexBuilder(w, n_batches=4).run(
+        gen_transcripts_df(spark, 60))
+    blocks = (spark.read.parquet(*table_paths(root, "postings"))
+              .toPandas()
+              .sort_values(["term", "range_id", "min_doc"],
+                           ignore_index=True))
+    cols = ["term", "range_id", "n", "min_doc", "max_doc", "max_tf",
+            "min_dl", "sum_tf", "doc_bytes", "tf_bytes", "dl_bytes",
+            "max_impact"]
+    blocks = blocks[cols]
+    assert (blocks.groupby(["term", "range_id"]).size() > 1).any()
+    tbl = pa.Table.from_pandas(blocks, preserve_index=False) \
+        .combine_chunks()
+    spliced, bad = _splice_merge_table(tbl)
+    assert bad is None  # build fragments are always interval-ordered
+    got = spliced.to_pandas().sort_values(
+        ["term", "range_id"], ignore_index=True)
+
+    # reference: full decode + re-encode of the same rows
+    import numpy as np
+
+    from embedanything_spark.index.build import _encode_batch
+    from embedanything_spark.index.codec import varint_decode
+    cnt = blocks["n"].to_numpy("int64")
+    deltas = varint_decode(b"".join(blocks["doc_bytes"])).astype("int64")
+    tf = varint_decode(b"".join(blocks["tf_bytes"])).astype("int64")
+    dl = varint_decode(b"".join(blocks["dl_bytes"])).astype("int64")
+    seg_start = cnt.cumsum() - cnt
+    c = deltas.cumsum()
+    base = np.repeat(c[seg_start] - deltas[seg_start]
+                     - blocks["min_doc"].to_numpy("int64"), cnt)
+    doc = c - base
+    frame = pd.DataFrame({
+        "term": np.repeat(blocks["term"].to_numpy(object), cnt),
+        "range_id": np.repeat(blocks["range_id"].to_numpy("int64"),
+                              cnt),
+        "doc_id": doc, "tf": tf, "doclen": dl})
+    order = np.lexsort((frame["doc_id"], frame["range_id"],
+                        frame["term"]))
+    want = _encode_batch(frame.iloc[order].reset_index(drop=True))
+    want = want[cols].sort_values(["term", "range_id"],
+                                  ignore_index=True)
+    assert len(got) == len(want)
+    for col in cols:
+        if col == "max_impact":
+            for a, b in zip(got[col], want[col]):
+                assert np.allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+        else:
+            assert got[col].tolist() == want[col].tolist(), col
