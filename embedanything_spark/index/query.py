@@ -693,13 +693,38 @@ class IndexReader:
         # surviving doc_ids into the docmap read as In + min/max range
         # filters. docmap files are written in doc_id order, so parquet
         # row-group min/max pruning skips everything but the few row
-        # groups holding the hits — the fetch reads O(Σk), not O(corpus)
-        # (the reference's id-keyed corpus fetch,
+        # groups holding the hits — the fetch reads O(Σk), not
+        # O(corpus) (the reference's id-keyed corpus fetch,
         # examples/SearchAgent/SearchR1/lance_retrieval.py:123-166).
+        # The fetch itself runs DRIVER-SIDE through pyarrow (the same
+        # row-group-pruned read the serving path uses): Σk rows never
+        # justify scheduling a second Spark job per query batch —
+        # measured ~30% of single-query distributed latency. Falls
+        # back to the JVM-side scan when pyarrow has no filesystem for
+        # the index root's scheme.
         ranked_pdf = ranked.toPandas()
         if ranked_pdf.empty:
             return self._empty()
         ids = sorted(ranked_pdf["doc_id"].unique().tolist())
+        try:
+            import pyarrow.compute as pc
+            dm = (self._dataset("docmap")
+                  .to_table(columns=["doc_id", "conv_id", "turn_idx"],
+                            filter=(pc.field("doc_id") >= ids[0])
+                            & (pc.field("doc_id") <= ids[-1])
+                            & pc.field("doc_id").isin(ids))
+                  .to_pandas())
+        except (OSError, NotImplementedError, ValueError):
+            dm = None
+        if dm is not None:
+            out = (ranked_pdf.merge(dm, on="doc_id", how="inner")
+                   [_RESULT_COLS]
+                   .sort_values(["query_id", "rank"],
+                                ignore_index=True))
+            return self.spark.createDataFrame(
+                out, schema="query_id int, rank int, doc_id long, "
+                            "conv_id string, turn_idx int, "
+                            "score double")
         ranked_small = self.spark.createDataFrame(
             ranked_pdf, schema="query_id int, doc_id long, score double, "
                                "rank int")

@@ -52,8 +52,10 @@ DIMS = 4
 
 def _tok_dim(d: int) -> F.Column:
     """Deterministic dim-d token value from an md5 hex slice (6 hex
-    chars each → 24 bits, scaled to [0,1) with 1e-6 granularity)."""
-    return (F.conv(F.substring(F.md5("term"), 1 + 6 * d, 6), 16, 10)
+    chars each → 24 bits, scaled to [0,1) with 1e-6 granularity).
+    Reads a pre-computed ``h`` = md5(term) column so the hash runs
+    once per token, not once per dim."""
+    return (F.conv(F.substring(F.col("h"), 1 + 6 * d, 6), 16, 10)
             .cast("long") % F.lit(1_000_000)) / F.lit(1_000_000.0)
 
 
@@ -68,6 +70,7 @@ def _window_embeddings(spark, sf_dir) -> DataFrame:
     return (toks
             .withColumn("win_id", (F.col("pos") / WIN_TOKENS)
                         .cast("long"))
+            .withColumn("h", F.md5("term"))
             .groupBy("doc_id", "win_id")
             .agg(F.count("*").alias("n_tok"),
                  *[F.avg(_tok_dim(d)).alias(f"e{d}")

@@ -101,13 +101,18 @@ def term_dictionary(spark, sf_dir):
 
 
 def doc_stats(spark, sf_dir):
-    """Per-doc length; zero-token docs kept (A6)."""
+    """Per-doc length; zero-token docs kept (A6). Computed NARROWLY —
+    size(filter(split(...))) per row — instead of the former
+    explode → groupBy → left join back, which shuffled the whole token
+    stream and re-scanned the table just to count tokens per doc: one
+    projection, zero exchanges, identical rows (null/empty text → 0,
+    matching the oracle's coalesce)."""
     docs = load(spark, sf_dir, "documents")
-    lens = (_tokens(docs).groupBy("doc_id")
-            .agg(F.count("*").alias("doclen")))
-    return (docs.select("doc_id").join(lens, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("doclen", F.lit(0)).alias("doclen")))
+    doclen = F.size(F.filter(F.split(F.lower("text"), " "),
+                             lambda x: x != ""))
+    return docs.select(
+        "doc_id",
+        F.coalesce(doclen, F.lit(0)).cast("long").alias("doclen"))
 
 
 def _bm25_scores(spark, sf_dir):
@@ -444,10 +449,11 @@ def dedup_minhash(spark, sf_dir):
     P = 4294967291  # largest 32-bit prime
     sh = _shingles(spark, sf_dir, distinct=False)
     hashed = sh.select(
+        "doc_id", F.md5("shingle").alias("h")).select(
         "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        F.conv(F.substring("h", 1, 8), 16, 10)
         .cast("long").alias("h1"),
-        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
+        F.conv(F.substring("h", 9, 8), 16, 10)
         .cast("long").alias("h2"))
     mh = hashed.groupBy("doc_id").agg(*[
         F.min((F.col("h1") + F.lit(s) * F.col("h2")) % F.lit(P))
@@ -488,9 +494,10 @@ def dedup_simhash(spark, sf_dir):
     shape exploded 64 bit-rows per (doc, term): a 64× CPU/row blowup
     ahead of the partial agg)."""
     tf = (term_tf(spark, sf_dir)
-          .withColumn("h_lo", F.conv(F.substring(F.md5("term"), 1, 8),
+          .withColumn("h", F.md5("term"))
+          .withColumn("h_lo", F.conv(F.substring("h", 1, 8),
                                      16, 10).cast("long"))
-          .withColumn("h_hi", F.conv(F.substring(F.md5("term"), 9, 8),
+          .withColumn("h_hi", F.conv(F.substring("h", 9, 8),
                                      16, 10).cast("long")))
     votes = tf.select("doc_id", *[
         F.expr(f"((shiftright({'h_lo' if b < 32 else 'h_hi'}, {b % 32}) "
