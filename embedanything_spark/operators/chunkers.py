@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from embedanything_spark.operators.docops import load
+from embedanything_spark.operators.docops import load, spread
 
 WIN_TOKENS = 10       # tokens per similarity window (statistical.rs:141-145)
 ROLL_WINDOWS = 5      # rolling-mean width (statistical.rs window_size=5)
@@ -50,30 +50,47 @@ CUM_THRESHOLD = 0.98  # fixed prefix-similarity split threshold (P3)
 DIMS = 4
 
 
-def _tok_dim(d: int) -> F.Column:
-    """Deterministic dim-d token value from an md5 hex slice (6 hex
-    chars each → 24 bits, scaled to [0,1) with 1e-6 granularity).
-    Reads a pre-computed ``h`` = md5(term) column so the hash runs
-    once per token, not once per dim."""
-    return (F.conv(F.substring(F.col("h"), 1 + 6 * d, 6), 16, 10)
-            .cast("long") % F.lit(1_000_000)) / F.lit(1_000_000.0)
+def _tok_dims() -> list[F.Column]:
+    """Deterministic token dims from md5 hex slices (6 hex chars each
+    → 24 bits, scaled to [0,1) with 1e-6 granularity). Each PAIR of
+    dims is parsed with ONE ``conv`` over 12 hex chars (48 bits — fits
+    a signed long) and split with shiftright / bitwiseAND: bit-exact
+    the same integers as four 6-char parses, at half the base-convert
+    cost. Reads a pre-computed ``h`` = md5(term) column so the hash
+    runs once per token."""
+    out = []
+    for p in range(DIMS // 2):
+        v = (F.conv(F.substring(F.col("h"), 1 + 12 * p, 12), 16, 10)
+             .cast("long"))
+        hi = F.shiftright(v, 24)                    # == int(h[12p:12p+6], 16)
+        lo = v.bitwiseAND(F.lit((1 << 24) - 1))     # == int(h[12p+6:12p+12], 16)
+        for part in (hi, lo):
+            out.append((part % F.lit(1_000_000)) / F.lit(1_000_000.0))
+    return out
 
 
 def _window_embeddings(spark, sf_dir) -> DataFrame:
     """(doc_id, win_id, n_tok, e0..e3): mean-pooled deterministic
-    window embeddings over WIN_TOKENS-token windows."""
+    window embeddings over WIN_TOKENS-token windows. Dim extraction
+    (md5 + 2 convs + bit ops) runs in the per-token PROJECTION ahead
+    of the partial aggregation, so each hash/parse happens exactly
+    once per token and the aggregate averages plain doubles."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id",
         F.posexplode(F.filter(F.split(F.lower("text"), " "),
                               lambda x: x != "")).alias("pos", "term"))
-    return (toks
+    dims = (toks
             .withColumn("win_id", (F.col("pos") / WIN_TOKENS)
                         .cast("long"))
             .withColumn("h", F.md5("term"))
+            .select("doc_id", "win_id",
+                    *[d.alias(f"e{i}")
+                      for i, d in enumerate(_tok_dims())]))
+    return (dims
             .groupBy("doc_id", "win_id")
             .agg(F.count("*").alias("n_tok"),
-                 *[F.avg(_tok_dim(d)).alias(f"e{d}")
+                 *[F.avg(f"e{d}").alias(f"e{d}")
                    for d in range(DIMS)]))
 
 

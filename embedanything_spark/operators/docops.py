@@ -32,15 +32,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism for token-exploding subtrees
+    (guide §2): a small single-row-group parquet file plans as ONE
+    scan task, serializing the whole explode + hash pipeline onto one
+    core. Repartition to the session's core count ONLY when the scan
+    plans fewer partitions than that — at real scale input splits
+    exceed the core count and this is a structural no-op (zero added
+    shuffle); in the small regime the exchange moves just the raw doc
+    rows (bounded by the same condition that triggered it). Bonus:
+    consumers that branch off the same spread subtree share ONE
+    ReusedExchange instead of re-scanning the input."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def micro(col) -> F.Column:
     return F.round(col * F.lit(1e6)).cast("long")
 
 
 def _tokens(df: DataFrame) -> DataFrame:
     """(doc_id, term) exploded space tokens, empties dropped."""
-    return (df.select("doc_id",
-                      F.explode(F.split(F.lower("text"), " ")).alias("term"))
-              .filter(F.col("term") != ""))
+    return (spread(df)
+            .select("doc_id",
+                    F.explode(F.split(F.lower("text"), " ")).alias("term"))
+            .filter(F.col("term") != ""))
 
 
 def hash12(col) -> F.Column:
@@ -116,36 +135,60 @@ def doc_stats(spark, sf_dir):
 
 
 def _bm25_scores(spark, sf_dir):
-    """(doc_id, score_micro) for the fixed query — DataFrame-only
-    BM25 plan with ZERO driver actions: n_docs/avgdl ride along as a
-    broadcast 1-row frame instead of a collect (the corpus never gets
-    an extra scan per query)."""
-    # tf filtered to query terms. df per term = map-side-combined
-    # groupBy over the same tf frame, broadcast back: a Zipf-head
-    # query term costs one partial-agg row per task, never a single
-    # window partition holding ~10% of the corpus's tf rows. The df
-    # subtree shares tf's (doc_id, term) exchange via ReuseExchange,
-    # so no extra corpus pass materializes.
-    tf_q = (term_tf(spark, sf_dir)
-            .filter(F.col("term").isin(DOC_QUERY_TERMS)))
-    dfs = (tf_q.groupBy("term")
-           .agg(F.count("*").cast("double").alias("df")))
-    tf = tf_q.join(F.broadcast(dfs), "term")
-    dl = doc_stats(spark, sf_dir)
-    st = dl.agg(F.count("*").cast("double").alias("n"),
-                F.avg("doclen").alias("avgdl"))
-    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) /
-                (F.col("df") + 0.5))
-    contrib = (tf.join(dl, "doc_id")
-               .crossJoin(F.broadcast(st))
-               .select("doc_id",
-                       (idf * (F.col("tf") * F.lit(K1 + 1.0)) /
-                        (F.col("tf") + F.lit(K1) *
-                         (F.lit(1.0 - B) +
-                          F.lit(B) * F.col("doclen") / F.col("avgdl"))))
-                       .alias("c")))
-    return (contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
-            .select("doc_id", micro(F.col("score")).alias("score_micro")))
+    """(doc_id, score_micro) for the fixed query — NARROW DataFrame
+    BM25 plan with ZERO driver actions and ZERO token shuffles: the
+    per-doc tf of each query term and the doc length are computed as
+    per-row array expressions (size(filter(tokens))) in ONE projection
+    over ONE scan, so the token stream is never exploded, grouped, or
+    joined (the former shape shuffled (doc_id, term) for the whole
+    corpus twice and re-scanned the table for doclen). n/avgdl/df ride
+    along as ONE broadcast 1-row aggregate of the same projection.
+
+    Equivalence to the DuckDB oracle (which keeps the explode+join
+    shape): tf-from-array == tf-from-groupBy per (doc, term);
+    df == count of docs with tf>0; a zero-tf term contributes exactly
+    +0.0 (numerator 0, denominator ≥ K1·(1−B) > 0), and docs matching
+    no query term are filtered out, reproducing the inner-join row
+    set. Scores sum in fixed term order; micro-rounding absorbs
+    sub-ulp ordering noise exactly as in the aggregated shape (whose
+    hash-agg update order was already arbitrary)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    nq = len(DOC_QUERY_TERMS)
+    # two-step select: split/lower is non-cheap, so CollapseProject
+    # keeps `_t` materialized once instead of inlining it per tf column.
+    # spread(): parallelize the tokenize work when the scan is a single
+    # small split, and let the stats and scored branches share ONE
+    # ReusedExchange instead of re-scanning the parquet.
+    proj = (spread(docs).select("doc_id", toks.alias("_t"))
+            .select(
+                "doc_id",
+                F.coalesce(F.size("_t"), F.lit(0)).cast("long")
+                .alias("doclen"),
+                *[F.size(F.filter(F.col("_t"), lambda x: x == qt))
+                  .cast("double").alias(f"tf{i}")
+                  for i, qt in enumerate(DOC_QUERY_TERMS)]))
+    st = proj.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("doclen").alias("avgdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double")
+          .alias(f"df{i}") for i in range(nq)])
+    scored = proj.filter(
+        sum(F.col(f"tf{i}") for i in range(nq)) > 0) \
+        .crossJoin(F.broadcast(st))
+    contribs = []
+    for i in range(nq):
+        idf = F.log(F.lit(1.0) + (F.col("n") - F.col(f"df{i}") + 0.5) /
+                    (F.col(f"df{i}") + 0.5))
+        contribs.append(
+            idf * (F.col(f"tf{i}") * F.lit(K1 + 1.0)) /
+            (F.col(f"tf{i}") + F.lit(K1) *
+             (F.lit(1.0 - B) +
+              F.lit(B) * F.col("doclen") / F.col("avgdl"))))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return scored.select("doc_id", micro(score).alias("score_micro"))
 
 
 def bm25_topk(spark, sf_dir):
@@ -357,7 +400,7 @@ def doc_fingerprint(spark, sf_dir):
     """Position-weighted content fingerprint per doc (rolling-hash
     style): sum(hash48(term) * (pos+1)) mod 2^31."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id",
         F.posexplode(F.filter(F.split(F.lower("text"), " "),
                               lambda x: x != "")).alias("pos", "term"))
@@ -390,9 +433,10 @@ def distinct_terms(spark, sf_dir):
     """A5 distinct-count progress tracking: exact distinct terms and
     token totals per source."""
     docs = load(spark, sf_dir, "documents")
-    toks = (docs.select("source",
-                        F.explode(F.split(F.lower("text"), " "))
-                        .alias("term"))
+    toks = (spread(docs)
+            .select("source",
+                    F.explode(F.split(F.lower("text"), " "))
+                    .alias("term"))
             .filter(F.col("term") != ""))
     return (toks.groupBy("source")
             .agg(F.countDistinct("term").alias("n_distinct_terms"),
@@ -422,7 +466,7 @@ def _shingles(spark, sf_dir, distinct: bool = True):
     consumers whose aggregate is multiset-invariant (e.g. MinHash)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-    sh = (docs
+    sh = (spread(docs)
           .select("doc_id", toks.alias("t"))
           .select("doc_id", F.explode(F.when(
               F.size("t") >= 3,

@@ -191,3 +191,41 @@ def test_splice_merge_byte_identical_to_decode_merge(spark, tmp_path):
                                    rtol=0, atol=0)
         else:
             assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_tok_dims_bit_identical_to_per_dim_conv(spark):
+    """The chunker dim kernel now parses each PAIR of dims with one
+    12-hex-char conv + shiftright/bitwiseAND; it must produce the
+    exact doubles of the original four 6-hex-char convs."""
+    from pyspark.sql import functions as F
+
+    from embedanything_spark.operators.chunkers import DIMS, _tok_dims
+
+    df = (spark.range(500)
+          .select(F.md5(F.col("id").cast("string")).alias("h")))
+    old = [(F.conv(F.substring(F.col("h"), 1 + 6 * d, 6), 16, 10)
+            .cast("long") % F.lit(1_000_000)) / F.lit(1_000_000.0)
+           for d in range(DIMS)]
+    rows = df.select(
+        *[d.alias(f"n{i}") for i, d in enumerate(_tok_dims())],
+        *[d.alias(f"o{i}") for i, d in enumerate(old)]).collect()
+    for r in rows:
+        for i in range(DIMS):
+            assert r[f"n{i}"] == r[f"o{i}"]
+
+
+def test_spread_preserves_rows_and_noops_at_scale(spark):
+    """spread() must never change the row multiset, must raise the
+    partition count for a narrow scan, and must be a structural no-op
+    when the input already has >= defaultParallelism partitions."""
+    from embedanything_spark.operators.docops import spread
+
+    small = spark.range(1000).coalesce(1).selectExpr("id", "id * 2 AS v")
+    out = spread(small)
+    assert out.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+    p = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(p + 3)
+    assert spread(wide) is wide
