@@ -174,17 +174,31 @@ def _bm25_scores(spark, sf_dir):
                 "doc_id",
                 F.coalesce(F.size("_t"), F.lit(0)).cast("long")
                 .alias("doclen"),
-                *[F.size(F.filter(F.col("_t"), lambda x: x == qt))
+                *[F.coalesce(
+                    F.size(F.filter(F.col("_t"), lambda x: x == qt)),
+                    F.lit(0))
                   .cast("double").alias(f"tf{i}")
                   for i, qt in enumerate(DOC_QUERY_TERMS)]))
+    # tf columns are coalesced non-nullable (null text → 0, the same
+    # rows the oracle's inner join drops via the Σtf filter below) —
+    # also deliberate plan hygiene: nullable tf would let the optimizer
+    # infer isnotnull() constraints from the join filter and push them
+    # to the scan, re-tokenizing text per term below the exchange.
     st = proj.agg(
         F.count("*").cast("double").alias("n"),
         F.avg("doclen").alias("avgdl"),
         *[F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double")
           .alias(f"df{i}") for i in range(nq)])
-    scored = proj.filter(
-        sum(F.col(f"tf{i}") for i in range(nq)) > 0) \
-        .crossJoin(F.broadcast(st))
+    # The zero-match filter is written as (Σtf)·n > 0 — exactly
+    # Σtf > 0, since n ≥ 1 — so it REFERENCES the broadcast stats side
+    # and cannot be pushed below the join: a bare Σtf > 0 predicate
+    # gets substituted through the projection down to the scan, where
+    # it re-tokenizes text three times per row AND splits the plan
+    # into two scans (the pre-filter exchange no longer matches the
+    # stats branch, killing ReusedExchange — observed in the formatted
+    # plan). Kept at the join, both branches share ONE scan+exchange.
+    scored = proj.crossJoin(F.broadcast(st)).filter(
+        sum(F.col(f"tf{i}") for i in range(nq)) * F.col("n") > 0)
     contribs = []
     for i in range(nq):
         idf = F.log(F.lit(1.0) + (F.col("n") - F.col(f"df{i}") + 0.5) /
