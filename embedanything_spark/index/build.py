@@ -972,10 +972,16 @@ class IndexWriter:
                      if ln["batch_id"].startswith("compact-")]
         delta = [ln for ln in old_lineage
                  if not ln["batch_id"].startswith("compact-")]
-        if compacted and not delta:
+        if compacted and not delta and (scope != "merge"
+                                        or len(compacted) == 1):
             # fully compacted already: keys are unique and the layout
             # final by construction — still honour the retention
-            # contract (a compact call expires the PREVIOUS cycle)
+            # contract (a compact call expires the PREVIOUS cycle).
+            # EXCEPT an explicit scope="merge" over MULTIPLE tiered
+            # layers: those can share (term, range_id) keys across
+            # layers, so the fold below must run even with no raw
+            # delta batches (ADVICE r5: the old unconditional noop
+            # reported a layered index as fully compacted forever).
             self._expire_retired()
             return {**old_lineage[-1], "noop": True,
                     "wall_sec": round(time.time() - t0, 3)}
@@ -1024,7 +1030,24 @@ class IndexWriter:
                      .select("term", "range_id",
                              F.input_file_name().alias("_f")))
             dkeys = (spark.read.parquet(*delta_block_dirs)
-                     .select("term", "range_id").distinct())
+                     .select("term", "range_id").distinct()
+                     if delta_block_dirs else
+                     cmeta.select("term", "range_id").limit(0))
+            if len(compacted) > 1:
+                # tiered layers can carry the SAME (term, range_id) in
+                # different layers; a merge that only chased delta keys
+                # would hardlink both files into the one output batch,
+                # breaking the "compact batch files have unique keys"
+                # invariant the selective pre-pass and the noop
+                # short-circuit rely on (and leaving read amplification
+                # the merge exists to fold away). Mark keys owned by
+                # more than one file dirty too — same column-pruned
+                # metadata scan, no payload reads.
+                layer_dupes = (cmeta.groupBy("term", "range_id")
+                               .agg(F.countDistinct("_f").alias("nf"))
+                               .filter(F.col("nf") > 1)
+                               .select("term", "range_id"))
+                dkeys = dkeys.unionByName(layer_dupes).distinct()
             # match on the (batch-dir name, file basename) pair —
             # unique by construction — NOT on full path strings:
             # input_file_name() URIs are absolute while a relative
@@ -1183,9 +1206,16 @@ class IndexWriter:
         # kind-partitioned union table, and an opaque python map defeats
         # column pruning — without the select the exchange would drag
         # all 26 union columns (22 of them null) through the shuffle
-        blocks = (spark.read
-                  .parquet(*(delta_block_dirs + rewrite_files))
-                  .select(*_BLOCK_COLS))
+        inputs = delta_block_dirs + rewrite_files
+        # a layer merge-fold with zero cross-layer duplicates has
+        # nothing to rewrite: run the same pipeline over a schema-only
+        # empty frame (the mass/mapping path already handles empty —
+        # see the all-empty-corpus note below) and hardlink everything
+        blocks = (spark.read.parquet(*inputs).select(*_BLOCK_COLS)
+                  if inputs else
+                  spark.read.parquet(*[str(_kind_dir(ln, "block"))
+                                       for ln in compacted])
+                  .select(*_BLOCK_COLS).limit(0))
         # ONE exchange routing each CONTIGUOUS term span to its own
         # partition, so every output file owns a term range and file-/
         # row-group-level min/max statistics prune a serving lookup to

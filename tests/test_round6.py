@@ -229,3 +229,59 @@ def test_spread_preserves_rows_and_noops_at_scale(spark):
     p = spark.sparkContext.defaultParallelism
     wide = spark.range(1000).repartition(p + 3)
     assert spread(wide) is wide
+
+
+def test_merge_consolidates_cross_layer_duplicate_keys(spark, tmp_path):
+    """ADVICE r5 (low): tiered layers can carry the same
+    (term, range_id) on the block_range boundary straddled by a delta's
+    doc offset. A merge-scope compact that only chases delta-touched
+    keys would hardlink both layers' files into the one output batch,
+    breaking the unique-keys invariant the selective pre-pass and the
+    noop short-circuit rely on. After the fix, a full merge over tiered
+    layers leaves every (term, range_id) in exactly one row, and
+    results stay bit-identical to a never-compacted twin."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from embedanything_spark.datagen import gen_transcripts_df
+    from embedanything_spark.index.build import (IndexWriter,
+                                                 committed_lineage)
+    from embedanything_spark.index.query import IndexReader
+
+    t = gen_transcripts_df(spark, 30)
+    q = pd.DataFrame({"query_id": [0, 1],
+                      "query_text": ["term00000", "term00003 term00011"],
+                      "k": [6, 6]})
+    rootA, rootB = tmp_path / "m", tmp_path / "never"
+    wA = IndexWriter(str(rootA), block_range=64, num_partitions=2)
+    wB = IndexWriter(str(rootB), block_range=64, num_partitions=2)
+    wA.build(t, batch_id="base")
+    wB.build(t, batch_id="base")
+    wA.compact(spark)
+    off = committed_lineage(rootA)[-1]["n_docs"]
+    for i, seed in enumerate((99, 7)):
+        d = gen_transcripts_df(spark, 4, seed=seed)
+        nd = d.count()
+        wA.build(d, batch_id=f"d{i}", doc_id_offset=off)
+        wB.build(d, batch_id=f"d{i}", doc_id_offset=off)
+        lin = wA.compact(spark, scope="delta")
+        assert lin["scope"] == "delta"
+        off += nd
+    # precondition: the tiers really do share at least one key
+    # (delta offsets straddle a block_range boundary)
+    dirs = [str(rootA / "data" / f"batch-{ln['batch_id']}" / "kind=block")
+            for ln in committed_lineage(rootA)]
+    pre = (spark.read.parquet(*dirs)
+           .select("term", "range_id", F.input_file_name().alias("_f"))
+           .groupBy("term", "range_id")
+           .agg(F.countDistinct("_f").alias("nf")))
+    assert pre.filter(F.col("nf") > 1).count() > 0
+    lin = wA.compact(spark, scope="merge")
+    assert lin["scope"] == "merge"
+    bdir = str(rootA / "data" / f"batch-{lin['batch_id']}" / "kind=block")
+    post = (spark.read.parquet(bdir)
+            .groupBy("term", "range_id").agg(F.count("*").alias("c")))
+    assert post.filter(F.col("c") > 1).count() == 0
+    pd.testing.assert_frame_equal(
+        IndexReader(None, str(rootA)).search_local(q),
+        IndexReader(None, str(rootB)).search_local(q))
