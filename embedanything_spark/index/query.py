@@ -12,7 +12,10 @@ Distributed plan:
       is partition-local
     → mapInPandas: per-partition block-max sweep (below) emitting ≤ k
       candidates per query per partition
-    → global top-k: row_number window over 50 query groups
+    → global top-k DRIVER-SIDE: the ≤ buckets·Σk candidate rows rank
+      in pandas (same cumcount kernel the serving path uses) — a
+      row_number window here only added an exchange + sort stage per
+      query job
     → docmap fetch with the surviving doc_ids pushed into the scan
       (In + min/max range filters; docmap files are doc_id-ordered so
       row-group pruning reads O(Σk), not O(corpus)).
@@ -58,7 +61,6 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from embedanything_spark import B, K1
 from embedanything_spark.analyzer import ANALYZER_VERSION, tokenize
@@ -680,13 +682,25 @@ class IndexReader:
                                      self.meta["avgdl"], prune,
                                      decode_acc, dfs=dfs),
             schema=_CAND_SCHEMA)
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("doc_id"))
-        kmap = F.create_map(*[x for qid, q in qinfo.items()
-                              for x in (F.lit(qid), F.lit(q["k"]))])
-        ranked = (cands
-                  .withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= kmap[F.col("query_id")]))
+        # The per-query rank + k-cut runs DRIVER-SIDE in pandas, the
+        # same kernel-output shape _finish_local ranks for serving:
+        # cands is ≤ n_buckets·Σk rows by construction (each partition
+        # pre-merged to its own top-k, every doc scored in exactly one
+        # partition — range_id routing), so a row_number Window here
+        # only added an exchange + sort stage to EVERY query job for
+        # ≤ a few hundred rows. Ordering (score DESC, doc_id ASC) is a
+        # total order, so the pandas cumcount rank is identical.
+        cand_pdf = cands.toPandas()
+        if cand_pdf.empty:
+            return self._empty()
+        cand_pdf = cand_pdf.sort_values(
+            ["query_id", "score", "doc_id"],
+            ascending=[True, False, True], ignore_index=True)
+        cand_pdf["rank"] = cand_pdf.groupby("query_id").cumcount() + 1
+        kmap = {qid: q["k"] for qid, q in qinfo.items()}
+        ranked_pdf = cand_pdf[
+            cand_pdf["rank"] <= cand_pdf["query_id"].map(kmap)
+        ].reset_index(drop=True)
         # The final docmap fetch must NOT scan the corpus: ranked is
         # ≤ Σk rows, so materialize it (one scoring job — the ids are
         # needed before the fetch plan can be pruned) and push the
@@ -702,9 +716,6 @@ class IndexReader:
         # measured ~30% of single-query distributed latency. Falls
         # back to the JVM-side scan when pyarrow has no filesystem for
         # the index root's scheme.
-        ranked_pdf = ranked.toPandas()
-        if ranked_pdf.empty:
-            return self._empty()
         ids = sorted(ranked_pdf["doc_id"].unique().tolist())
         try:
             import pyarrow.compute as pc
